@@ -1,0 +1,195 @@
+"""Configuration system: YAML -> nested dataclasses.
+
+Field-parity with the reference config (ev-NSFnet/config.py:9-142):
+physics / network / training (+stages) / supervision, merged field-by-field
+over defaults, stages in dict or positional-list form. Extensions for the
+TPU build: model variant selection (nsfnet | ev-nsfnet | kan), precision
+control, optimizer schedule (Adam -> optional L-BFGS polish), mesh size,
+and checkpointing knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class PhysicsConfig:
+    Re: float = 5000.0
+    alpha_evm: float = 0.05
+    bc_weight: float = 10.0
+    eq_weight: float = 1.0
+    entropy_residual_weight: float = 0.1  # the 0.1*eq4 factor (pinn_solver.py:397)
+
+
+@dataclass
+class NetworkConfig:
+    backbone: str = "mlp"  # mlp | kan
+    layers: int = 6
+    layers_1: int = 4
+    hidden_size: int = 80
+    hidden_size_1: int = 40
+    # KAN-specific (physics_informed_kan.ipynb cell 0)
+    kan_width: List[int] = field(default_factory=lambda: [2, 16, 16, 8])
+    kan_grid: int = 5
+    kan_k: int = 3
+
+
+@dataclass
+class TrainingStage:
+    alpha: float
+    epochs: int
+    lr: float
+    name: str = "Stage"
+    optimizer: str = "adam"  # adam | lbfgs (L-BFGS polish stages)
+
+
+@dataclass
+class SupervisionConfig:
+    enabled: bool = False
+    num_samples: int = 0
+    loss_weight: float = 1.0
+
+
+@dataclass
+class SDFWeightConfig:
+    enabled: bool = False
+    min_weight: float = 0.2
+    decay: float = 5.0
+
+
+@dataclass
+class TrainingConfig:
+    N_f: int = 120000
+    log_interval: int = 1000
+    enable_tensorboard: bool = True
+    tb_log_dir: str = "runs"
+    sort_training_points: bool = True
+    sdf_weighting: SDFWeightConfig = field(default_factory=SDFWeightConfig)
+    coordinate_transform: bool = False
+    checkpoint_freq: int = 10000
+    checkpoint_dir: str = "results"
+    seed: int = 42
+    # TPU-specific
+    matmul_precision: str = "highest"  # highest | high | default
+    evm_update_freq: int = 10000  # EVM net trains once per this many steps
+    mesh_devices: Optional[int] = None  # None = all local devices
+    training_stages: List[TrainingStage] = field(default_factory=lambda: [
+        TrainingStage(0.05, 500000, 1e-3, "Stage 1"),
+        TrainingStage(0.03, 500000, 2e-4, "Stage 2"),
+        TrainingStage(0.01, 500000, 4e-5, "Stage 3"),
+        TrainingStage(0.005, 500000, 1e-5, "Stage 4"),
+        TrainingStage(0.002, 500000, 2e-6, "Stage 5"),
+        TrainingStage(0.002, 500000, 2e-6, "Stage 6"),
+    ])
+
+
+@dataclass
+class AppConfig:
+    physics: PhysicsConfig = field(default_factory=PhysicsConfig)
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    supervision: SupervisionConfig = field(default_factory=SupervisionConfig)
+    model_variant: str = "ev-nsfnet"  # nsfnet | ev-nsfnet | kan
+    experiment_name: str = "NSFnet_TPU"
+    description: str = "TPU-native PINN cavity solver"
+    eval_data: str = ""  # path to DNS .mat; empty = skip evaluation
+
+
+def _merge_section(obj, data: dict):
+    for k, v in (data or {}).items():
+        if hasattr(obj, k) and not isinstance(getattr(obj, k), (SDFWeightConfig, list)):
+            setattr(obj, k, v)
+
+
+class ConfigManager:
+    """YAML loader with field-by-field merge over defaults
+    (shape parity with ev-NSFnet/config.py:69-142)."""
+
+    def __init__(self, config: Optional[AppConfig] = None):
+        self.config = config or AppConfig()
+
+    @classmethod
+    def from_file(cls, path: str) -> "ConfigManager":
+        import yaml
+
+        with open(path, "r", encoding="utf-8") as f:
+            data = yaml.safe_load(f) or {}
+        return cls.from_dict(data)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "ConfigManager":
+        cfg = AppConfig()
+        _merge_section(cfg.physics, data.get("physics"))
+        _merge_section(cfg.network, data.get("network"))
+        if "network" in data and "kan_width" in (data["network"] or {}):
+            cfg.network.kan_width = [int(w) for w in data["network"]["kan_width"]]
+        tr = data.get("training") or {}
+        _merge_section(cfg.training, tr)
+        if "sdf_weighting" in tr:
+            _merge_section(cfg.training.sdf_weighting, tr["sdf_weighting"])
+        if "training_stages" in tr:
+            stages = []
+            for st in tr["training_stages"]:
+                if isinstance(st, dict):
+                    stages.append(TrainingStage(
+                        alpha=float(st["alpha"]),
+                        epochs=int(st["epochs"]),
+                        lr=float(st["lr"]),
+                        name=str(st.get("name", "Stage")),
+                        optimizer=str(st.get("optimizer", "adam")),
+                    ))
+                elif isinstance(st, (list, tuple)) and len(st) >= 4:
+                    stages.append(TrainingStage(
+                        float(st[0]), int(st[1]), float(st[2]), str(st[3])))
+            if stages:
+                cfg.training.training_stages = stages
+        _merge_section(cfg.supervision, data.get("supervision"))
+        for key in ("model_variant", "experiment_name", "description", "eval_data"):
+            if key in data:
+                setattr(cfg, key, data[key])
+        return cls(cfg)
+
+    def validate(self) -> List[str]:
+        warnings = []
+        c = self.config
+        if c.physics.Re <= 0:
+            warnings.append("Re must be > 0")
+        if c.training.N_f <= 0:
+            warnings.append("N_f must be > 0")
+        if c.model_variant not in ("nsfnet", "ev-nsfnet", "kan"):
+            warnings.append(f"unknown model_variant {c.model_variant!r}")
+        for st in c.training.training_stages:
+            if st.optimizer not in ("adam", "lbfgs"):
+                warnings.append(f"unknown stage optimizer {st.optimizer!r}")
+        return warnings
+
+    def print_config(self, printer=print):
+        c = self.config
+        printer("=" * 60)
+        printer(f"Experiment: {c.experiment_name}  [{c.model_variant}]")
+        printer(f"Description: {c.description}")
+        printer("Network:")
+        if c.network.backbone == "kan":
+            printer(f"  KAN width={c.network.kan_width} grid={c.network.kan_grid} k={c.network.kan_k}")
+        else:
+            printer(f"  Main: {c.network.layers} layers x {c.network.hidden_size}")
+            if c.model_variant == "ev-nsfnet":
+                printer(f"  EVM : {c.network.layers_1} layers x {c.network.hidden_size_1}")
+        printer(f"Physics: Re={c.physics.Re} bc_w={c.physics.bc_weight} eq_w={c.physics.eq_weight}")
+        printer(f"Training: N_f={c.training.N_f:,} stages={len(c.training.training_stages)} "
+                f"precision={c.training.matmul_precision}")
+        for i, st in enumerate(c.training.training_stages, 1):
+            printer(f"  {i:02d} {st.name:<10} alpha={st.alpha:<7g} epochs={st.epochs:<9,} "
+                    f"lr={st.lr:.2e} opt={st.optimizer}")
+        sdf = c.training.sdf_weighting
+        printer(f"SDF weighting: {'ON' if sdf.enabled else 'OFF'} "
+                f"min={sdf.min_weight} decay={sdf.decay}")
+        printer(f"Supervision: {'ON' if c.supervision.enabled else 'OFF'} "
+                f"n={c.supervision.num_samples} w={c.supervision.loss_weight}")
+        printer("=" * 60)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self.config)

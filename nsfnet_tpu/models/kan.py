@@ -1,0 +1,119 @@
+"""Functional Kolmogorov-Arnold Network (KAN) backbone.
+
+Capability parity with the reference's physics-informed KAN notebook
+(/root/reference/physics_informed_kan.ipynb cell 0), which builds a pykan
+`KAN(width=[2,16,16,8], grid=5, k=3, grid_eps=1.0)` and trains it as a PINN.
+
+This is a from-scratch JAX implementation of the same model family: each
+layer maps x in R^in -> R^out via out_j = sum_i phi_ij(x_i) where
+phi_ij(x) = w_base_ij * silu(x) + w_sp_ij * sum_m c_ijm B_m(x), with B_m a
+degree-k B-spline basis on a uniform grid over [-grid_range, grid_range]
+(grid_eps=1.0 in the notebook means a pure uniform grid — no adaptive
+re-gridding, which is what we implement).
+
+The basis is evaluated with the Cox-de Boor recursion written as static
+jnp ops, so the whole network is smooth almost everywhere and supports the
+framework's jvp-of-jvp residual engine unchanged. Everything is batched,
+static-shaped, and fuses under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+KanLayerParams = Tuple[jax.Array, jax.Array, jax.Array]  # (coef, w_base, w_sp)
+KanParams = Tuple[KanLayerParams, ...]
+
+
+def _knots(grid: int, k: int, grid_range: Tuple[float, float], dtype=jnp.float32) -> jnp.ndarray:
+    """Uniform knot vector extended by k intervals on each side."""
+    lo, hi = grid_range
+    h = (hi - lo) / grid
+    return jnp.arange(-k, grid + k + 1, dtype=dtype) * h + lo
+
+
+def bspline_basis(x: jax.Array, grid: int, k: int, grid_range=(-1.0, 1.0)) -> jax.Array:
+    """Degree-k B-spline basis values for each scalar in x.
+
+    x: [...]; returns [..., grid + k] basis values (Cox-de Boor).
+    Written with jnp.where guards so it is differentiable (a.e.) and
+    jvp-of-jvp-safe: no division by zero reaches the output.
+    """
+    t = _knots(grid, k, grid_range, dtype=x.dtype)  # [grid + 2k + 1]
+    xe = x[..., None]
+    # Degree-0: indicator of [t_m, t_{m+1}); [..., grid + 2k]
+    b = ((xe >= t[:-1]) & (xe < t[1:])).astype(x.dtype)
+    for d in range(1, k + 1):
+        left_den = t[d:-1] - t[: -(d + 1)]
+        right_den = t[d + 1:] - t[1:-d]
+        left = (xe - t[: -(d + 1)]) / left_den * b[..., :-1]
+        right = (t[d + 1:] - xe) / right_den * b[..., 1:]
+        b = left + right
+    return b  # [..., grid + k]
+
+
+def init_kan(
+    key: jax.Array,
+    width: Sequence[int],
+    grid: int = 5,
+    k: int = 3,
+    noise_scale: float = 0.1,
+    dtype=jnp.float32,
+) -> KanParams:
+    """Initialize per-layer (coef, w_base, w_sp).
+
+    Mirrors pykan's default init shape: small random spline coefficients
+    (noise_scale / grid), base weights Xavier-ish, spline mix weights 1.
+    The notebook sets noise_scale_base=0 -> w_base starts at kaiming-like
+    scale but the *base noise* is zero; we keep w_base ~ Xavier which is the
+    pykan default path for scale_base.
+    """
+    params = []
+    n_basis = grid + k
+    for fan_in, fan_out in zip(width[:-1], width[1:]):
+        key, ck, bk = jax.random.split(key, 3)
+        coef = noise_scale / grid * jax.random.normal(ck, (fan_in, fan_out, n_basis), dtype)
+        limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+        w_base = jax.random.uniform(bk, (fan_in, fan_out), dtype, -limit, limit)
+        w_sp = jnp.ones((fan_in, fan_out), dtype)
+        params.append((coef, w_base, w_sp))
+    return tuple(params)
+
+
+def kan_layer_apply(layer: KanLayerParams, x: jax.Array, grid: int, k: int,
+                    grid_range=(-1.0, 1.0)) -> jax.Array:
+    coef, w_base, w_sp = layer
+    basis = bspline_basis(x, grid, k, grid_range)          # [N, in, n_basis]
+    spline = jnp.einsum("nib,iob->nio", basis, coef)        # [N, in, out]
+    base = jax.nn.silu(x)                                   # [N, in]
+    phi = w_base[None] * base[..., None] + w_sp[None] * spline
+    return jnp.sum(phi, axis=1)                             # [N, out]
+
+
+def kan_apply(params: KanParams, x: jax.Array, grid: int = 5, k: int = 3,
+              grid_range=(-1.0, 1.0)) -> jax.Array:
+    h = x
+    for layer in params:
+        h = kan_layer_apply(layer, h, grid, k, grid_range)
+    return h
+
+
+@dataclasses.dataclass(frozen=True)
+class KAN:
+    """Descriptor with the notebook's defaults: width=[2,16,16,8], grid=5, k=3."""
+
+    width: Tuple[int, ...] = (2, 16, 16, 8)
+    grid: int = 5
+    k: int = 3
+    grid_range: Tuple[float, float] = (-1.0, 1.0)
+    noise_scale: float = 0.1
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> KanParams:
+        return init_kan(key, self.width, self.grid, self.k, self.noise_scale, dtype)
+
+    def apply(self, params: KanParams, x: jax.Array) -> jax.Array:
+        return kan_apply(params, x, self.grid, self.k, self.grid_range)

@@ -1,0 +1,42 @@
+"""Full-train-state checkpointing with exact resume.
+
+The reference checkpoints only the two network state_dicts — optimizer
+moments, step counter and the vis_t field are lost on resume
+(ev-NSFnet/pinn_solver.py:742-759, 108-120). Here the whole TrainState
+pytree (params, both optimizer states, vis_t carry, counters) is serialized
+(flax msgpack) together with a JSON metadata sidecar, so resume is
+bit-exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+from flax import serialization
+
+
+def save_state(path: str, state: Any, metadata: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    host_state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f, indent=2)
+
+
+def restore_state(path: str, template: Any) -> Any:
+    """Restore into `template` (a TrainState with correctly-shaped leaves)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def load_metadata(path: str) -> Optional[dict]:
+    meta_path = path + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return None

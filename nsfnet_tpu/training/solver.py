@@ -1,0 +1,536 @@
+"""The PINN solver: the user-facing orchestrator.
+
+API parity with the reference `PysicsInformedNeuralNetwork`
+(ev-NSFnet/pinn_solver.py:27-765): set_boundary_data, set_eq_training_data,
+set_supervised_data, set_supervised_loss_weight, set_coordinate_transform,
+set_alpha_evm, train, evaluate, test, predict, save — re-designed around a
+jitted scan-chunked train step on a device mesh instead of a Python-loop of
+op-by-op torch calls.
+
+Key TPU-native differences (all documented divergences, see SURVEY §7):
+  * point batches are padded + sharded over a 1-D mesh, losses are exact
+    global means (no per-rank slicing, no loss all_reduce);
+  * the EVM lag field vis_t is a device carry (no per-step host sync);
+  * the EVM freeze schedule is a gated in-jit update (no optimizer rebuild,
+    Adam moments preserved);
+  * checkpoints capture the FULL train state for exact resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nsfnet_tpu.logger import get_logger
+from nsfnet_tpu.models.kan import KAN
+from nsfnet_tpu.models.mlp import MLP
+from nsfnet_tpu.ops.derivatives import derivatives_2d, mlp_derivatives_2d
+from nsfnet_tpu.parallel import mesh as pmesh
+from nsfnet_tpu.training import checkpoint as ckpt
+from nsfnet_tpu.training.lbfgs import run_lbfgs
+from nsfnet_tpu.training.state import Batch, TrainState
+from nsfnet_tpu.training.step import make_chunk_runner, make_loss_fn, make_train_step
+from nsfnet_tpu.utils.tensorboard import ScalarWriter
+
+
+class PINNSolver:
+    """2-D steady cavity PINN solver (vanilla NSFnet or ev-NSFnet variant).
+
+    Constructor knob parity with ev-NSFnet/pinn_solver.py:32-54 (Re, layers,
+    layers_1, hidden_size, hidden_size_1, N_f, alpha_evm, bc_weight,
+    eq_weight, supervised_data_weight, checkpoint_path, net_params...),
+    plus TPU-native knobs (mesh, seed, precision, backbone).
+    """
+
+    tb_writer: Optional[ScalarWriter] = None
+
+    def __init__(
+        self,
+        Re: float = 1000,
+        layers: int = 6,
+        layers_1: Optional[int] = 4,
+        hidden_size: int = 80,
+        hidden_size_1: int = 40,
+        N_f: int = 100000,
+        alpha_evm: float = 0.03,
+        learning_rate: float = 0.001,
+        bc_weight: float = 10.0,
+        eq_weight: float = 1.0,
+        supervised_data_weight: float = 1.0,
+        entropy_residual_weight: float = 0.1,
+        num_ins: int = 2,
+        num_outs: int = 3,
+        num_outs_1: int = 1,
+        net_params: Optional[str] = None,
+        checkpoint_freq: int = 10000,
+        checkpoint_path: str = "./results",
+        evm: bool = True,
+        backbone: str = "mlp",
+        kan_width=(2, 16, 16, 8),
+        kan_grid: int = 5,
+        kan_k: int = 3,
+        seed: int = 42,
+        mesh=None,
+        mesh_devices: Optional[int] = None,
+        matmul_precision: str = "highest",
+        evm_update_freq: int = 10000,
+        log_interval: int = 1000,
+    ):
+        self.Re = float(Re)
+        self.vis_t0 = 20.0 / self.Re  # ev-NSFnet/pinn_solver.py:67
+        self.N_f = N_f
+        self.alpha_evm = float(alpha_evm)
+        self.alpha_b = float(bc_weight)
+        self.alpha_e = float(eq_weight)
+        self.alpha_s = float(supervised_data_weight)
+        self.entropy_residual_weight = float(entropy_residual_weight)
+        self.evm = bool(evm) and layers_1 is not None
+        self.checkpoint_freq = checkpoint_freq
+        self.checkpoint_path = checkpoint_path
+        self.evm_update_freq = evm_update_freq
+        self.log_interval = log_interval
+        self.matmul_precision = matmul_precision
+        self.current_stage = " "
+        self.current_lr = learning_rate
+        self.coord_scale = 1.0
+        self.layers = layers
+        self.hidden_size = hidden_size
+        self.logger = get_logger()
+
+        self.mesh = mesh if mesh is not None else pmesh.create_mesh(mesh_devices)
+        self.rank = jax.process_index()
+        self.world_size = self.mesh.devices.size
+
+        key = jax.random.PRNGKey(seed)
+        k_main, k_evm = jax.random.split(key)
+        if backbone == "kan":
+            self.net = KAN(width=tuple(kan_width), grid=kan_grid, k=kan_k)
+            self._generic_engine = True
+        else:
+            self.net = MLP(num_ins=num_ins, num_outs=num_outs,
+                           num_layers=layers, hidden_size=hidden_size)
+            self._generic_engine = False
+        self.backbone = backbone
+        params = self.net.init(k_main)
+        if self.evm:
+            self.net_1 = MLP(num_ins=num_ins, num_outs=num_outs_1,
+                             num_layers=layers_1, hidden_size=hidden_size_1)
+            params_evm = self.net_1.init(k_evm)
+        else:
+            self.net_1 = None
+            params_evm = None
+
+        # Adam as scale_by_adam + runtime lr (stage lr changes never retrace).
+        self.tx_main = optax.scale_by_adam()
+        self.tx_evm = optax.scale_by_adam() if self.evm else None
+        rep = pmesh.replicated_sharding(self.mesh)
+        self.state = TrainState(
+            params=jax.device_put(params, rep),
+            params_evm=jax.device_put(params_evm, rep) if self.evm else None,
+            opt_main=jax.device_put(self.tx_main.init(params), rep),
+            opt_evm=jax.device_put(self.tx_evm.init(params_evm), rep) if self.evm else None,
+            vis_t_minus=None,
+            step=jnp.zeros((), jnp.int32),
+            epoch_in_stage=jnp.zeros((), jnp.int32),
+        )
+        self.global_step = 0
+
+        # host-side staged data (set_* fills these)
+        self._bc = None
+        self._eq = None
+        self._eq_weights = None
+        self._sup = None
+        self._batch: Optional[Batch] = None
+        self._runner = None
+        self._dirty = True
+
+        if net_params:
+            self.load(net_params)
+
+        # jitted prediction head: (params[, params_evm], X[N,2]) -> (u,v,p,e)
+        self._predict_jit = jax.jit(self._predict_impl)
+
+        if self.rank == 0:
+            self.logger.info(
+                f"PINNSolver: variant={'ev-nsfnet' if self.evm else 'nsfnet'} "
+                f"backbone={backbone} mesh={self.world_size}x'{pmesh.DATA_AXIS}' "
+                f"devices={[str(d) for d in self.mesh.devices.flat][:4]}"
+                f"{'...' if self.world_size > 4 else ''}")
+
+    # ---------------------------------------------------------------- data
+
+    def set_boundary_data(self, X=None):
+        """X = (x_b, y_b, u_b, v_b) host arrays [N,1]
+        (parity: ev-NSFnet/pinn_solver.py:142-158; no per-rank slicing —
+        the mesh shards the padded batch)."""
+        self._bc = tuple(np.asarray(a, np.float32).reshape(-1, 1) for a in X[:4])
+        self._dirty = True
+
+    def set_eq_training_data(self, X=None, weights=None):
+        """X = (x_f, y_f); optional per-point SDF weights
+        (parity: ev-NSFnet/pinn_solver.py:160-184)."""
+        self._eq = tuple(np.asarray(a, np.float32).reshape(-1, 1) for a in X[:2])
+        self._eq_weights = (np.asarray(weights, np.float32).reshape(-1, 1)
+                            if weights is not None else None)
+        self._dirty = True
+        if self.evm:
+            self._init_vis_t()
+
+    def _init_vis_t(self):
+        """vis_t_minus := alpha_evm*|e(x_f)| with the current EVM net
+        (parity: init_vis_t, ev-NSFnet/pinn_solver.py:138-140)."""
+        x = np.concatenate(self._eq, axis=1)
+        e = np.asarray(self.net_1.apply(self.state.params_evm, jnp.asarray(x)))[:, 0:1]
+        self._vis_t_init = self.alpha_evm * np.abs(e).astype(np.float32)
+
+    def set_supervised_data(self, data):
+        """data = (x, y, u, v, p) or None; p may contain NaN (masked)
+        (parity: ev-NSFnet/pinn_solver.py:202-254)."""
+        if data is None:
+            self._sup = None
+        else:
+            x, y, u, v, p = data
+            self._sup = (
+                np.asarray(x, np.float32).reshape(-1, 1),
+                np.asarray(y, np.float32).reshape(-1, 1),
+                np.asarray(u, np.float32).reshape(-1, 1),
+                np.asarray(v, np.float32).reshape(-1, 1),
+                np.asarray(p, np.float32).reshape(-1, 1) if p is not None else None,
+            )
+        self._dirty = True
+
+    def clear_supervised_data(self):
+        self.set_supervised_data(None)
+
+    def set_supervised_loss_weight(self, weight: float):
+        self.alpha_s = float(weight)
+        self._dirty = True
+
+    def set_coordinate_transform(self, scale: Optional[float]):
+        """Chain-rule scale for [0,1]->[-1,1] domains
+        (parity: ev-NSFnet/pinn_solver.py:186-192)."""
+        self.coord_scale = 1.0 if (scale is None or scale <= 0) else float(scale)
+        self._dirty = True
+
+    def set_alpha_evm(self, alpha: float):
+        self.alpha_evm = float(alpha)  # runtime scalar; no recompile
+
+    # ------------------------------------------------------------ assembly
+
+    def _build_batch(self) -> Batch:
+        if self._bc is None or self._eq is None:
+            raise RuntimeError("set_boundary_data and set_eq_training_data first")
+        msize = self.world_size
+        sh = lambda a: pmesh.shard_batch(self.mesh, a)
+
+        x_f, y_f = self._eq
+        n_f = x_f.shape[0]
+        nf_pad = pmesh.padded_size(n_f, msize)
+        w = self._eq_weights if self._eq_weights is not None else np.ones((n_f, 1), np.float32)
+        eq_w = pmesh.pad_rows(w, nf_pad, 0.0)
+
+        x_b, y_b, u_b, v_b = self._bc
+        n_b = x_b.shape[0]
+        nb_pad = pmesh.padded_size(n_b, msize)
+        b_mask = pmesh.pad_rows(np.ones((n_b, 1), np.float32), nb_pad, 0.0)
+
+        kw = {}
+        if self._sup is not None and self.alpha_s != 0.0:
+            x_s, y_s, u_s, v_s, p_s = self._sup
+            n_s = x_s.shape[0]
+            ns_pad = pmesh.padded_size(n_s, msize)
+            s_mask = pmesh.pad_rows(np.ones((n_s, 1), np.float32), ns_pad, 0.0)
+            if p_s is not None:
+                p_finite = np.isfinite(p_s).astype(np.float32)
+                p_mask = pmesh.pad_rows(p_finite, ns_pad, 0.0)
+                n_p = float(p_finite.sum())
+                p_arr = pmesh.pad_rows(np.nan_to_num(p_s), ns_pad, 0.0)
+            else:
+                p_mask, n_p, p_arr = None, 0.0, None
+            kw = dict(
+                x_s=sh(pmesh.pad_rows(x_s, ns_pad)), y_s=sh(pmesh.pad_rows(y_s, ns_pad)),
+                u_s=sh(pmesh.pad_rows(u_s, ns_pad)), v_s=sh(pmesh.pad_rows(v_s, ns_pad)),
+                p_s=sh(p_arr) if p_arr is not None else None,
+                s_mask=sh(s_mask),
+                p_mask=sh(p_mask) if p_mask is not None else None,
+                n_s=jnp.float32(n_s), n_p=jnp.float32(n_p),
+            )
+
+        batch = Batch(
+            x_f=sh(pmesh.pad_rows(x_f, nf_pad)),
+            y_f=sh(pmesh.pad_rows(y_f, nf_pad)),
+            eq_w=sh(eq_w), n_f=jnp.float32(n_f),
+            x_b=sh(pmesh.pad_rows(x_b, nb_pad)),
+            y_b=sh(pmesh.pad_rows(y_b, nb_pad)),
+            u_b=sh(pmesh.pad_rows(u_b, nb_pad)),
+            v_b=sh(pmesh.pad_rows(v_b, nb_pad)),
+            b_mask=sh(b_mask), n_b=jnp.float32(n_b),
+            **kw,
+        )
+
+        if self.evm:
+            vtm = pmesh.pad_rows(self._vis_t_init, nf_pad, self.vis_t0)
+            if self.state.vis_t_minus is None or self.state.vis_t_minus.shape != vtm.shape:
+                self.state = self.state._replace(vis_t_minus=sh(vtm))
+        return batch
+
+    def _engine(self):
+        if self._generic_engine:
+            apply = self.net.apply
+            return lambda params, x: derivatives_2d(lambda z: apply(params, z), x)
+        return mlp_derivatives_2d
+
+    def _ensure_ready(self):
+        if not self._dirty and self._runner is not None:
+            return
+        self._batch = self._build_batch()
+        loss_fn = make_loss_fn(
+            engine=self._engine(),
+            apply_main=self.net.apply,
+            apply_evm=self.net_1.apply if self.evm else None,
+            re=self.Re,
+            coord_scale=self.coord_scale,
+            alpha_b=self.alpha_b,
+            alpha_e=self.alpha_e,
+            alpha_s=self.alpha_s,
+            entropy_weight=self.entropy_residual_weight,
+            evm=self.evm,
+        )
+        self._loss_fn = loss_fn
+        train_step = make_train_step(
+            loss_fn, self.tx_main, self.tx_evm,
+            evm_update_freq=self.evm_update_freq, evm=self.evm)
+        self._runner = make_chunk_runner(train_step, self.matmul_precision)
+        self._dirty = False
+
+    # ------------------------------------------------------------- training
+
+    def train(self, num_epoch: int = 1, lr: float = 1e-4, optimizer: str = "adam",
+              **_compat):
+        """One training stage: num_epoch full-batch steps at fixed lr
+        (parity: ev-NSFnet/pinn_solver.py:430-487). optimizer='lbfgs' runs
+        the L-BFGS polish instead of Adam."""
+        if optimizer == "lbfgs":
+            return self.train_lbfgs(num_epoch)
+        self._ensure_ready()
+        self.current_lr = lr
+        self.state = self.state._replace(epoch_in_stage=jnp.zeros((), jnp.int32))
+
+        if not hasattr(self, "cumulative_start_time"):
+            self.cumulative_start_time = time.time()
+        stage_start = time.time()
+        last_log_t, last_log_e = stage_start, 0
+
+        pts_per_step = int(self._batch.x_f.shape[0] + self._batch.x_b.shape[0])
+        done = 0
+        while done < num_epoch:
+            # chunk boundaries: first step alone (log+ckpt parity with the
+            # reference's epoch 0), then to the next log/ckpt boundary.
+            if done == 0:
+                n = 1
+            else:
+                nxt = min(
+                    ((done // self.log_interval) + 1) * self.log_interval,
+                    ((done // self.checkpoint_freq) + 1) * self.checkpoint_freq,
+                    num_epoch)
+                n = nxt - done
+            self.state, metrics = self._runner(
+                self.state, self._batch,
+                jnp.float32(lr), jnp.float32(self.alpha_evm), n_steps=n)
+            done += n
+            self.global_step += n
+
+            if done == 1 or done % self.log_interval == 0 or done == num_epoch:
+                m = jax.device_get(metrics)
+                now = time.time()
+                interval_it_s = (done - last_log_e) / max(now - last_log_t, 1e-9)
+                avg_it_s = done / max(now - stage_start, 1e-9)
+                self._print_log(m, done, num_epoch, avg_it_s, interval_it_s,
+                                pts_per_step, now - stage_start,
+                                now - self.cumulative_start_time, lr)
+                last_log_t, last_log_e = now, done
+            if done == 1 or done % self.checkpoint_freq == 0:
+                self.save(f"model_cavity_loop{done}.ckpt")
+        return self.state
+
+    def train_lbfgs(self, num_steps: int):
+        """L-BFGS polish over all trainable params, vis_t frozen."""
+        self._ensure_ready()
+        batch, vtm, alpha = self._batch, self.state.vis_t_minus, jnp.float32(self.alpha_evm)
+
+        def scalar_loss(params_all):
+            total, _aux = self._loss_fn(params_all, batch, vtm, alpha)
+            return total
+
+        t0 = time.time()
+        (new_params, new_evm), history = run_lbfgs(
+            scalar_loss, (self.state.params, self.state.params_evm),
+            n_steps=num_steps, matmul_precision=self.matmul_precision)
+        self.state = self.state._replace(params=new_params, params_evm=new_evm)
+        self.global_step += num_steps
+        if self.rank == 0:
+            h = jax.device_get(history)
+            self.logger.info(
+                f"[L-BFGS] {num_steps} steps in {time.time()-t0:.1f}s  "
+                f"loss {h[0]:.3e} -> {h[-1]:.3e}")
+        return self.state
+
+    # ------------------------------------------------------------ inference
+
+    def _predict_impl(self, params, params_evm, x):
+        uvp = self.net.apply(params, x)
+        e = (self.net_1.apply(params_evm, x)[:, 0:1]
+             if self.evm else jnp.zeros((x.shape[0], 1), x.dtype))
+        return uvp[:, 0:1], uvp[:, 1:2], uvp[:, 2:3], e
+
+    def neural_net_u(self, x, y):
+        """(u, v, p, e) at host points (parity: ev-NSFnet/pinn_solver.py:280-288)."""
+        pts = jnp.concatenate([jnp.asarray(x, jnp.float32).reshape(-1, 1),
+                               jnp.asarray(y, jnp.float32).reshape(-1, 1)], axis=1)
+        return self._predict_jit(self.state.params, self.state.params_evm, pts)
+
+    def predict(self, X):
+        x, y = X
+        return self.neural_net_u(x, y)
+
+    def evaluate(self, x, y, u, v, p):
+        """Relative L2 % errors vs DNS (parity: ev-NSFnet/pinn_solver.py:669-693)."""
+        u_pred, v_pred, p_pred, _ = self.neural_net_u(x, y)
+        u_pred, v_pred, p_pred = (np.asarray(a).reshape(-1, 1)
+                                  for a in (u_pred, v_pred, p_pred))
+        u_t, v_t, p_t = (np.asarray(a, np.float64).reshape(-1, 1) for a in (u, v, p))
+        mask = ~np.isnan(p_t)
+        err = lambda t, q: 100.0 * np.linalg.norm(t - q) / np.linalg.norm(t)
+        errors = {
+            "u": err(u_t, u_pred.astype(np.float64)),
+            "v": err(v_t, v_pred.astype(np.float64)),
+            "p": err(p_t[mask], p_pred.astype(np.float64)[mask]),
+        }
+        if self.rank == 0:
+            self.logger.info("Error u: %.3f %%  v: %.3f %%  p: %.3f %%"
+                             % (errors["u"], errors["v"], errors["p"]))
+        return errors
+
+    def test(self, x, y, u, v, p, loop=None, save_dir=None):
+        """Predict the full grid, report errors, dump a .mat result file
+        (parity: ev-NSFnet/pinn_solver.py:695-740)."""
+        import scipy.io
+
+        errors = self.evaluate(x, y, u, v, p)
+        u_pred, v_pred, p_pred, e_pred = self.neural_net_u(x, y)
+        side = int(round(np.sqrt(np.asarray(x).size)))
+        shape = (side, side)
+        out_dir = save_dir or os.path.join(
+            self.checkpoint_path, f"Re{self.Re:g}", "test_result")
+        if self.rank == 0:
+            os.makedirs(out_dir, exist_ok=True)
+            scipy.io.savemat(
+                os.path.join(out_dir, f"cavity_result_loop_{loop}.mat"),
+                {
+                    "U_pred": np.asarray(u_pred).reshape(shape),
+                    "V_pred": np.asarray(v_pred).reshape(shape),
+                    "P_pred": np.asarray(p_pred).reshape(shape),
+                    "E_pred": np.asarray(e_pred).reshape(shape),
+                    "error_u": errors["u"], "error_v": errors["v"],
+                    "error_p": errors["p"],
+                    "lam_bcs": self.alpha_b, "lam_equ": self.alpha_e,
+                })
+        return errors
+
+    # ---------------------------------------------------------- persistence
+
+    def _ckpt_dir(self) -> str:
+        """Directory-name parity with ev-NSFnet/pinn_solver.py:742-747."""
+        nn = f"{self.layers}x{self.hidden_size}_Nf{int(self.N_f/1000)}k"
+        lam = f"lamB{self.alpha_b:g}_alpha{self.alpha_evm:g}{self.current_stage}"
+        return os.path.join(self.checkpoint_path, f"Re{self.Re:g}", f"{nn}_{lam}")
+
+    def save(self, filename: str, directory: Optional[str] = None):
+        if self.rank != 0:
+            return
+        path = os.path.join(directory or self._ckpt_dir(), filename)
+        ckpt.save_state(path, self.state, metadata={
+            "global_step": self.global_step,
+            "Re": self.Re,
+            "alpha_evm": self.alpha_evm,
+            "stage": self.current_stage,
+        })
+        return path
+
+    def load(self, path: str):
+        self._ensure_vis_shape_for_load()
+        self.state = ckpt.restore_state(path, self.state)
+        meta = ckpt.load_metadata(path)
+        if meta:
+            self.global_step = int(meta.get("global_step", self.global_step))
+            self.current_stage = meta.get("stage", self.current_stage)
+        rep = pmesh.replicated_sharding(self.mesh)
+        self.state = self.state._replace(
+            params=jax.device_put(self.state.params, rep),
+            params_evm=(jax.device_put(self.state.params_evm, rep)
+                        if self.evm else None),
+            opt_main=jax.device_put(self.state.opt_main, rep),
+            opt_evm=(jax.device_put(self.state.opt_evm, rep) if self.evm else None),
+            vis_t_minus=(pmesh.shard_batch(self.mesh, self.state.vis_t_minus)
+                         if self.state.vis_t_minus is not None else None),
+        )
+
+    def _ensure_vis_shape_for_load(self):
+        # restore needs a template with the right vis_t shape if data is set
+        if self.evm and self.state.vis_t_minus is None and self._eq is not None:
+            self._build_batch()
+
+    # --------------------------------------------------------------- logging
+
+    def _print_log(self, m, done, num_epoch, avg_it_s, interval_it_s,
+                   pts_per_step, stage_elapsed, total_elapsed, lr):
+        if self.rank != 0:
+            return
+        re_eff = 1.0 / (1.0 / self.Re + float(m.vis_t_mean)) if self.evm else self.Re
+        throughput = interval_it_s * pts_per_step
+        eta = (num_epoch - done) / max(avg_it_s, 1e-9)
+        width = 30
+        filled = int(done / num_epoch * width)
+        bar = "#" * filled + " " * (width - filled)
+        self.logger.info(
+            f"[{self.current_stage}] {done:>7d}/{num_epoch:<7d} "
+            f"{done/num_epoch*100:6.2f}% |{bar}|")
+        self.logger.info(
+            f"  loss: total={float(m.total):.3e} eq={float(m.equation):.3e} "
+            f"bc={float(m.boundary):.3e} sup={float(m.supervised):.3e}")
+        self.logger.info(
+            f"        eq1={float(m.eq1):.2e} eq2={float(m.eq2):.2e} "
+            f"eq3={float(m.eq3):.2e} eq4={float(m.eq4):.2e}")
+        self.logger.info(
+            f"  time: stage={stage_elapsed:.1f}s total={total_elapsed:.1f}s "
+            f"it/s={avg_it_s:.2f} (interval {interval_it_s:.2f}) eta={eta:.0f}s")
+        self.logger.info(
+            f"  perf: throughput={throughput:,.0f} pts/s lr={lr:.2e} "
+            f"Re_eff={re_eff:.1f} alpha_evm={self.alpha_evm}")
+        if self.tb_writer is not None:
+            w, s = self.tb_writer, self.global_step
+            w.add_scalar("loss/total", float(m.total), s)
+            w.add_scalar("loss/boundary", float(m.boundary), s)
+            w.add_scalar("loss/eq_total", float(m.equation), s)
+            w.add_scalar("loss/eq1", float(m.eq1), s)
+            w.add_scalar("loss/eq2", float(m.eq2), s)
+            w.add_scalar("loss/eq3", float(m.eq3), s)
+            w.add_scalar("loss/eq4_entropy", float(m.eq4), s)
+            w.add_scalar("loss/supervision", float(m.supervised), s)
+            w.add_scalar("physics/Re_eff", re_eff, s)
+            w.add_scalar("physics/alpha_evm", self.alpha_evm, s)
+            w.add_scalar("perf/throughput_pts_per_s", throughput, s)
+            w.add_scalar("perf/avg_iter_s", avg_it_s, s)
+            w.add_scalar("perf/interval_iter_s", interval_it_s, s)
+            w.add_scalar("lr", lr, s)
+
+
+# The reference class name (typo preserved: ev-NSFnet/pinn_solver.py:27) as a
+# drop-in alias.
+PysicsInformedNeuralNetwork = PINNSolver

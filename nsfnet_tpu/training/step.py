@@ -1,0 +1,178 @@
+"""The jitted training step and scan-chunked multi-step runner.
+
+One step = the reference's full-batch epoch (solve_Adam body,
+ev-NSFnet/pinn_solver.py:456-480), fully on device:
+
+  * forward-mode NS residuals on the collocation batch,
+  * BC / equation / supervised losses with global-mean semantics,
+  * Adam update of the main net every step,
+  * gated Adam update of the EVM net once per `evm_update_freq` steps —
+    the in-jit equivalent of the reference's freeze/defreeze schedule
+    (pinn_solver.py:452-462: EVM trains exactly on stage-epochs
+    k*10000, k>=1). Divergence (intentional, see SURVEY §7): the reference
+    REBUILDS the Adam optimizer at every freeze/unfreeze, zeroing moments
+    for ALL nets (pinn_solver.py:489-511); we keep moments.
+  * the vis_t carry update (device-side; the reference round-trips through
+    host numpy every step, pinn_solver.py:327-334).
+
+`make_chunk_runner` wraps the step in a lax.scan so thousands of steps run
+per host dispatch; learning rate and alpha_evm are runtime scalars, so
+stage changes never retrace.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nsfnet_tpu.ops import losses as L
+from nsfnet_tpu.ops import residuals as R
+from nsfnet_tpu.training.state import Batch, StepMetrics, TrainState
+
+Engine = Callable[..., tuple]  # (params, X[N,2]) -> Derivs
+
+
+def make_loss_fn(
+    engine: Engine,
+    apply_main: Callable,
+    apply_evm: Optional[Callable],
+    re: float,
+    coord_scale: float,
+    alpha_b: float,
+    alpha_e: float,
+    alpha_s: float,
+    entropy_weight: float = 0.1,
+    evm: bool = True,
+):
+    """Build the pure loss function. Static config is closed over; runtime
+    scalars (alpha_evm) are arguments so stages don't retrace."""
+    vis_t0 = 20.0 / re  # ev-NSFnet/pinn_solver.py:67
+
+    def loss_fn(params_all, batch: Batch, vis_t_minus, alpha_evm):
+        params, params_evm = params_all
+        x_eq = jnp.concatenate([batch.x_f, batch.y_f], axis=1)
+
+        derivs = engine(params, x_eq)
+        if evm:
+            e = apply_evm(params_evm, x_eq)[:, 0:1]
+            vis_t = R.next_vis_t(vis_t_minus, vis_t0)
+            res = R.ev_ns_residuals(derivs, e, vis_t, re, coord_scale)
+            new_vis_t_minus = R.update_vis_t_minus(e, alpha_evm)
+            vis_t_mean = jnp.sum(vis_t * batch.eq_w) / batch.n_f
+        else:
+            res = R.ns_residuals(derivs, re, coord_scale)
+            new_vis_t_minus = vis_t_minus
+            vis_t_mean = jnp.zeros(())
+
+        loss_e, (l1, l2, l3, l4) = L.equation_loss(
+            res, batch.eq_w, batch.n_f, entropy_weight)
+
+        x_bc = jnp.concatenate([batch.x_b, batch.y_b], axis=1)
+        uvp_b = apply_main(params, x_bc)
+        loss_b = L.boundary_loss(uvp_b[:, 0:1], uvp_b[:, 1:2],
+                                 batch.u_b, batch.v_b, batch.b_mask, batch.n_b)
+
+        if batch.x_s is not None:
+            x_sup = jnp.concatenate([batch.x_s, batch.y_s], axis=1)
+            uvp_s = apply_main(params, x_sup)
+            loss_s = L.supervised_loss(
+                uvp_s[:, 0:1], uvp_s[:, 1:2], uvp_s[:, 2:3],
+                batch.u_s, batch.v_s, batch.p_s,
+                batch.s_mask, batch.n_s, batch.p_mask, batch.n_p)
+        else:
+            loss_s = jnp.zeros(())
+
+        total = alpha_b * loss_b + alpha_e * loss_e + alpha_s * loss_s
+        metrics = StepMetrics(total, loss_b, loss_e, loss_s, l1, l2, l3, l4, vis_t_mean)
+        return total, (metrics, new_vis_t_minus)
+
+    return loss_fn
+
+
+def make_train_step(
+    loss_fn,
+    tx_main: optax.GradientTransformation,
+    tx_evm: Optional[optax.GradientTransformation],
+    evm_update_freq: int = 10000,
+    evm: bool = True,
+):
+    """Adam with runtime learning rate: tx = scale_by_adam, applied as
+    params += -lr * direction. The EVM update is gated by lax.cond on the
+    stage-epoch counter, leaving its params AND moments untouched on frozen
+    steps (exact freeze semantics without optimizer rebuilds)."""
+
+    def train_step(state: TrainState, batch: Batch, lr, alpha_evm):
+        (_, (metrics, new_vtm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (state.params, state.params_evm), batch, state.vis_t_minus, alpha_evm)
+        g_main, g_evm = grads
+
+        upd, new_opt_main = tx_main.update(g_main, state.opt_main, state.params)
+        new_params = jax.tree.map(lambda p, u: p - lr * u, state.params, upd)
+
+        if evm:
+            # EVM trains on stage-epochs k*evm_update_freq, k>=1
+            # (ev-NSFnet/pinn_solver.py:456-462).
+            do_evm = jnp.logical_and(
+                state.epoch_in_stage % evm_update_freq == 0,
+                state.epoch_in_stage > 0)
+
+            def evm_apply_update(args):
+                p, o, g = args
+                u, o2 = tx_evm.update(g, o, p)
+                return jax.tree.map(lambda pp, uu: pp - lr * uu, p, u), o2
+
+            def evm_keep(args):
+                p, o, _ = args
+                return p, o
+
+            new_params_evm, new_opt_evm = jax.lax.cond(
+                do_evm, evm_apply_update, evm_keep,
+                (state.params_evm, state.opt_evm, g_evm))
+        else:
+            new_params_evm, new_opt_evm = state.params_evm, state.opt_evm
+
+        new_state = TrainState(
+            params=new_params,
+            params_evm=new_params_evm,
+            opt_main=new_opt_main,
+            opt_evm=new_opt_evm,
+            vis_t_minus=new_vtm,
+            step=state.step + 1,
+            epoch_in_stage=state.epoch_in_stage + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_chunk_runner(train_step, matmul_precision: str = "highest"):
+    """Run `n_steps` training steps in one jitted lax.scan dispatch.
+
+    n_steps is static (few distinct chunk sizes per run => few compiles);
+    lr / alpha_evm are traced scalars. Returns the final state and the LAST
+    step's metrics (what the reference logs, pinn_solver.py:478-480).
+    """
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
+    def run_chunk(state: TrainState, batch: Batch, lr, alpha_evm, n_steps: int):
+        with jax.default_matmul_precision(matmul_precision):
+            def body(carry, _):
+                new_carry, metrics = train_step(carry, batch, lr, alpha_evm)
+                return new_carry, None
+
+            # carry metrics via a final extra step? No: run n_steps-1 silent
+            # steps, then one metric-reporting step, all inside the scan.
+            def body_with_metrics(carry, _):
+                new_carry, metrics = train_step(carry, batch, lr, alpha_evm)
+                return new_carry, metrics
+
+            if n_steps > 1:
+                state, _ = jax.lax.scan(body, state, None, length=n_steps - 1)
+            state, metrics = train_step(state, batch, lr, alpha_evm)
+        return state, metrics
+
+    return run_chunk

@@ -1,0 +1,99 @@
+"""Cavity dataset generation: boundary set, lid profile, LHS, SDF, transform."""
+
+import numpy as np
+
+from nsfnet_tpu.data.cavity import CavityData, lid_velocity
+from nsfnet_tpu.data.sampling import (
+    boundary_distance_box,
+    latin_hypercube,
+    min_distance_to_points,
+    sort_by_boundary_distance,
+)
+
+
+def test_boundary_counts_and_values():
+    """2052 boundary points: 513/edge (cavity_data.py:49-66)."""
+    data = CavityData(N_f=100, seed=0)
+    x_b, y_b, u_b, v_b = data.boundary_data()
+    assert x_b.shape == (4 * 513, 1)
+    assert np.all(v_b == 0)
+    # bottom/left/right no-slip
+    bottom = u_b[:513]
+    assert np.all(bottom == 0)
+    # lid: regularized profile, ~0 at corners, max near 1 mid-lid
+    lid = u_b[513:1026, 0]
+    assert abs(lid[0]) < 1e-6 and abs(lid[-1]) < 1e-6
+    assert 0.98 < lid[256] <= 1.0
+
+
+def test_lid_profile_formula():
+    x = np.linspace(0, 1, 11)
+    expected = 1 - np.cosh(10 * (x - 0.5)) / np.cosh(5.0)
+    np.testing.assert_allclose(lid_velocity(x), expected)
+
+
+def test_latin_hypercube_stratification():
+    """Exactly one sample per stratum per dimension."""
+    n = 50
+    s = latin_hypercube(n, [[0.0, 1.0], [0.0, 1.0]], np.random.default_rng(0))
+    assert s.shape == (n, 2)
+    for d in range(2):
+        counts = np.histogram(s[:, d], bins=n, range=(0, 1))[0]
+        assert np.all(counts == 1)
+
+
+def test_latin_hypercube_bounds():
+    s = latin_hypercube(100, [[-1.0, 1.0], [2.0, 3.0]], np.random.default_rng(1))
+    assert s[:, 0].min() >= -1 and s[:, 0].max() <= 1
+    assert s[:, 1].min() >= 2 and s[:, 1].max() <= 3
+
+
+def test_training_data_requires_boundary_first():
+    data = CavityData(N_f=10, seed=0)
+    try:
+        data.training_data()
+        assert False, "should require boundary data first"
+    except RuntimeError:
+        pass
+
+
+def test_sdf_weights_mean_normalized_and_shapes():
+    data = CavityData(N_f=500, sdf_enabled=True, sort_training_points=False, seed=0)
+    data.boundary_data()
+    x_f, y_f = data.training_data()
+    w = data.sdf_weights
+    assert x_f.shape == (500, 1) and w.shape == (500,)
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-5)
+    # near-boundary points get larger weights
+    pts = np.concatenate([x_f, y_f], axis=1)
+    d = boundary_distance_box(pts)
+    assert w[np.argmin(d)] > w[np.argmax(d)]
+
+
+def test_boundary_distance_box_matches_discrete():
+    """Closed-form box distance == KD-style min distance to the 2052
+    boundary points, up to half the boundary spacing."""
+    data = CavityData(N_f=50, seed=0)
+    data.boundary_data()
+    pts = latin_hypercube(200, [[0, 1], [0, 1]], np.random.default_rng(2))
+    exact = boundary_distance_box(pts)
+    discrete = min_distance_to_points(pts, data.pts_bc)
+    assert np.max(np.abs(exact - discrete)) < 1.0 / 512
+
+
+def test_sorting_by_distance():
+    data = CavityData(N_f=50, seed=0)
+    data.boundary_data()
+    pts = latin_hypercube(100, [[0, 1], [0, 1]], np.random.default_rng(3))
+    srt = sort_by_boundary_distance(pts, data.pts_bc)
+    d = min_distance_to_points(srt, data.pts_bc)
+    assert np.all(np.diff(d) >= -1e-12)
+
+
+def test_coord_transform():
+    data = CavityData(N_f=100, coord_transform=True, sort_training_points=False, seed=0)
+    x_b, y_b, _, _ = data.boundary_data()
+    assert x_b.min() == -1.0 and x_b.max() == 1.0
+    x_f, y_f = data.training_data()
+    assert x_f.min() >= -1 and x_f.max() <= 1
+    assert data.coord_scale == 2.0
