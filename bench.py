@@ -1,0 +1,78 @@
+"""Headline benchmark: collocation points/sec/chip at Re=2000.
+
+Flagship scenario = the reference's production-scale ev-NSFnet step
+(main 6x80 + EVM 4x40, N_f=120,000 collocation + 2,052 boundary points,
+full-batch Adam with EVM freeze gating and the vis_t carry), identical in
+structure to ev-NSFnet/pinn_solver.py's hot loop at Re=2000.
+
+Baseline: ~142,000 pts/s on 1x Tesla P100 — the reference README's
+illustrative log figure (ev-NSFnet/README.md:56; BASELINE.md). Target:
+>=50x (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+# keep bench quiet and on the real accelerator
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_PTS_PER_SEC = 142_000.0  # 1x P100 (ev-NSFnet/README.md:56)
+
+
+def main():
+    from nsfnet_tpu.data.cavity import CavityData
+    from nsfnet_tpu.training.solver import PINNSolver
+
+    n_chips = len(jax.devices())
+    n_f = 120_000
+
+    solver = PINNSolver(
+        Re=2000, layers=6, layers_1=4, hidden_size=80, hidden_size_1=40,
+        N_f=n_f, alpha_evm=0.05, bc_weight=10, eq_weight=1,
+        log_interval=10**9, checkpoint_freq=10**9, seed=0,
+        matmul_precision="highest",
+    )
+    data = CavityData(N_f=n_f, sort_training_points=False,
+                      sdf_enabled=True, seed=0)
+    solver.set_boundary_data(X=data.boundary_data())
+    solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    solver._ensure_ready()
+
+    sc = solver._stage_scalars(1e-3)
+    pts_per_step = n_f + 4 * 513  # real (unpadded) points, like the reference
+
+    # compile + warmup
+    solver.state, m = solver._runner(solver.state, solver._batch, sc, n_steps=1)
+    jax.block_until_ready(m.total)
+
+    # timed: enough steps for a stable number, one dispatch
+    steps = 2000 if jax.devices()[0].platform != "cpu" else 50
+    t0 = time.perf_counter()
+    solver.state, m = solver._runner(solver.state, solver._batch, sc, n_steps=steps)
+    jax.block_until_ready(m.total)
+    dt = time.perf_counter() - t0
+
+    total_loss = float(m.total)
+    assert np.isfinite(total_loss), "benchmark step diverged"
+    pts_per_sec_per_chip = steps * pts_per_step / dt / n_chips
+
+    print(json.dumps({
+        "metric": "collocation_points_per_sec_per_chip_re2000",
+        "value": round(pts_per_sec_per_chip, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(pts_per_sec_per_chip / REFERENCE_PTS_PER_SEC, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

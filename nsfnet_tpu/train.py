@@ -1,0 +1,154 @@
+"""Training driver (parity with ev-NSFnet/train.py:74-224).
+
+Usage:
+    python -m nsfnet_tpu.train --config configs/re5000_production.yaml [--dry-run]
+
+Flow: config -> distributed bring-up -> solver -> data -> supervision
+sampling -> staged training loop with per-stage evaluate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from nsfnet_tpu.config import ConfigManager
+from nsfnet_tpu.data.cavity import CavityData
+from nsfnet_tpu.logger import get_logger
+from nsfnet_tpu.parallel.mesh import initialize_distributed
+from nsfnet_tpu.training.solver import PINNSolver
+from nsfnet_tpu.utils.tensorboard import ScalarWriter
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="NSFnet-TPU training")
+    p.add_argument("--config", type=str, default="configs/re5000_production.yaml")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print config & stages then exit (ev-NSFnet/train.py:18)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="path to a full-state checkpoint to resume from")
+    return p.parse_args()
+
+
+def build_solver(cfg, mesh=None) -> PINNSolver:
+    variant = cfg.model_variant
+    return PINNSolver(
+        Re=cfg.physics.Re,
+        layers=cfg.network.layers,
+        layers_1=cfg.network.layers_1 if variant == "ev-nsfnet" else None,
+        hidden_size=cfg.network.hidden_size,
+        hidden_size_1=cfg.network.hidden_size_1,
+        N_f=cfg.training.N_f,
+        alpha_evm=cfg.physics.alpha_evm,
+        bc_weight=cfg.physics.bc_weight,
+        eq_weight=cfg.physics.eq_weight,
+        supervised_data_weight=(cfg.supervision.loss_weight
+                                if cfg.supervision.enabled else 0.0),
+        entropy_residual_weight=cfg.physics.entropy_residual_weight,
+        evm=(variant == "ev-nsfnet"),
+        backbone=cfg.network.backbone if variant != "kan" else "kan",
+        kan_width=tuple(cfg.network.kan_width),
+        kan_grid=cfg.network.kan_grid,
+        kan_k=cfg.network.kan_k,
+        seed=cfg.training.seed,
+        mesh=mesh,
+        mesh_devices=cfg.training.mesh_devices,
+        matmul_precision=cfg.training.matmul_precision,
+        evm_update_freq=cfg.training.evm_update_freq,
+        log_interval=cfg.training.log_interval,
+        checkpoint_freq=cfg.training.checkpoint_freq,
+        checkpoint_path=cfg.training.checkpoint_dir,
+    )
+
+
+def main(argv=None):
+    args = parse_args() if argv is None else argv
+    if os.path.exists(args.config):
+        cm = ConfigManager.from_file(args.config)
+    else:
+        print(f"config {args.config} not found; using built-in defaults")
+        cm = ConfigManager()
+    cfg = cm.config
+
+    initialize_distributed()
+    import jax
+
+    rank = jax.process_index()
+    logger = get_logger(cfg.experiment_name, rank=rank)
+    if rank == 0:
+        logger.header("Experiment Configuration")
+        cm.print_config(printer=logger.info)
+        for w in cm.validate():
+            logger.warning(w)
+    if args.dry_run:
+        logger.info("dry-run complete (no training)")
+        return 0
+
+    solver = build_solver(cfg)
+    if rank == 0 and cfg.training.enable_tensorboard:
+        run_name = f"{cfg.experiment_name}_{time.strftime('%Y%m%d_%H%M%S')}"
+        solver.tb_writer = ScalarWriter(
+            os.path.join(cfg.training.tb_log_dir, run_name),
+            enable_tensorboard=True)
+
+    data = CavityData(
+        N_f=cfg.training.N_f,
+        sort_training_points=cfg.training.sort_training_points,
+        sdf_enabled=cfg.training.sdf_weighting.enabled,
+        sdf_min_weight=cfg.training.sdf_weighting.min_weight,
+        sdf_decay=cfg.training.sdf_weighting.decay,
+        coord_transform=cfg.training.coordinate_transform,
+        seed=cfg.training.seed,
+    )
+    solver.set_boundary_data(X=data.boundary_data())
+    solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    solver.set_coordinate_transform(data.coord_scale)
+
+    eval_fields = None
+    if cfg.eval_data and os.path.exists(cfg.eval_data):
+        eval_fields = data.evaluate_data(cfg.eval_data)
+        logger.info(f"loaded DNS eval data: {cfg.eval_data} "
+                    f"({eval_fields[0].shape[0]} points)")
+    elif cfg.eval_data:
+        logger.warning(f"eval data {cfg.eval_data} missing; skipping evaluation")
+
+    # Supervision: sample DNS points with a fixed seed — every host draws the
+    # same indices (replaces the reference's rank-0 broadcast,
+    # ev-NSFnet/train.py:164-172).
+    if cfg.supervision.enabled and cfg.supervision.num_samples > 0 and eval_fields:
+        xs, ys, us, vs, ps = eval_fields
+        n = min(cfg.supervision.num_samples, xs.shape[0])
+        idx = np.random.default_rng(cfg.training.seed).choice(
+            xs.shape[0], size=n, replace=False)
+        solver.set_supervised_data((xs[idx], ys[idx], us[idx], vs[idx], ps[idx]))
+        solver.set_supervised_loss_weight(cfg.supervision.loss_weight)
+        logger.info(f"supervision: {n} DNS samples, weight={cfg.supervision.loss_weight}")
+    else:
+        solver.clear_supervised_data()
+        solver.set_supervised_loss_weight(0.0)
+
+    if args.resume:
+        solver.load(args.resume)
+        logger.info(f"resumed from {args.resume} at step {solver.global_step}")
+
+    stages = cfg.training.training_stages
+    total = sum(st.epochs for st in stages)
+    logger.info(f"training: total epochs={total:,} over {len(stages)} stages")
+    for st in stages:
+        logger.stage(st.name, st.alpha, st.epochs, st.lr)
+        solver.current_stage = st.name
+        solver.set_alpha_evm(st.alpha)
+        solver.train(num_epoch=st.epochs, lr=st.lr, optimizer=st.optimizer)
+        if eval_fields:
+            solver.evaluate(*eval_fields)
+    logger.header("Training Completed")
+    if solver.tb_writer is not None:
+        solver.tb_writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,7 +35,12 @@ from nsfnet_tpu.parallel import mesh as pmesh
 from nsfnet_tpu.training import checkpoint as ckpt
 from nsfnet_tpu.training.lbfgs import run_lbfgs
 from nsfnet_tpu.training.state import Batch, TrainState
-from nsfnet_tpu.training.step import make_chunk_runner, make_loss_fn, make_train_step
+from nsfnet_tpu.training.step import (
+    StageScalars,
+    make_chunk_runner,
+    make_loss_fn,
+    make_train_step,
+)
 from nsfnet_tpu.utils.tensorboard import ScalarWriter
 
 
@@ -98,6 +103,8 @@ class PINNSolver:
         self.matmul_precision = matmul_precision
         self.current_stage = " "
         self.current_lr = learning_rate
+        self.current_re = self.Re
+        self.current_alpha_b = self.alpha_b
         self.coord_scale = 1.0
         self.layers = layers
         self.hidden_size = hidden_size
@@ -294,9 +301,7 @@ class PINNSolver:
             engine=self._engine(),
             apply_main=self.net.apply,
             apply_evm=self.net_1.apply if self.evm else None,
-            re=self.Re,
             coord_scale=self.coord_scale,
-            alpha_b=self.alpha_b,
             alpha_e=self.alpha_e,
             alpha_s=self.alpha_s,
             entropy_weight=self.entropy_residual_weight,
@@ -311,15 +316,29 @@ class PINNSolver:
 
     # ------------------------------------------------------------- training
 
+    def _stage_scalars(self, lr: float) -> StageScalars:
+        return StageScalars(
+            lr=jnp.float32(lr),
+            alpha_evm=jnp.float32(self.alpha_evm),
+            re=jnp.float32(self.current_re),
+            alpha_b=jnp.float32(self.current_alpha_b),
+        )
+
     def train(self, num_epoch: int = 1, lr: float = 1e-4, optimizer: str = "adam",
+              Re: Optional[float] = None, bc_weight: Optional[float] = None,
               **_compat):
         """One training stage: num_epoch full-batch steps at fixed lr
-        (parity: ev-NSFnet/pinn_solver.py:430-487). optimizer='lbfgs' runs
-        the L-BFGS polish instead of Adam."""
+        (parity: ev-NSFnet/pinn_solver.py:430-487). Extensions:
+        optimizer='lbfgs' runs the L-BFGS polish; Re / bc_weight override
+        the physics per stage (staged-Re curriculum, boundary-weight
+        annealing) without recompiling."""
+        self.current_re = float(Re) if Re is not None else self.Re
+        self.current_alpha_b = float(bc_weight) if bc_weight is not None else self.alpha_b
         if optimizer == "lbfgs":
             return self.train_lbfgs(num_epoch)
         self._ensure_ready()
         self.current_lr = lr
+        sc = self._stage_scalars(lr)
         self.state = self.state._replace(epoch_in_stage=jnp.zeros((), jnp.int32))
 
         if not hasattr(self, "cumulative_start_time"):
@@ -341,8 +360,7 @@ class PINNSolver:
                     num_epoch)
                 n = nxt - done
             self.state, metrics = self._runner(
-                self.state, self._batch,
-                jnp.float32(lr), jnp.float32(self.alpha_evm), n_steps=n)
+                self.state, self._batch, sc, n_steps=n)
             done += n
             self.global_step += n
 
@@ -355,17 +373,19 @@ class PINNSolver:
                                 pts_per_step, now - stage_start,
                                 now - self.cumulative_start_time, lr)
                 last_log_t, last_log_e = now, done
-            if done == 1 or done % self.checkpoint_freq == 0:
+            if (done == 1 and num_epoch >= self.checkpoint_freq) \
+                    or done % self.checkpoint_freq == 0:
                 self.save(f"model_cavity_loop{done}.ckpt")
         return self.state
 
     def train_lbfgs(self, num_steps: int):
         """L-BFGS polish over all trainable params, vis_t frozen."""
         self._ensure_ready()
-        batch, vtm, alpha = self._batch, self.state.vis_t_minus, jnp.float32(self.alpha_evm)
+        batch, vtm = self._batch, self.state.vis_t_minus
+        sc = self._stage_scalars(1.0)
 
         def scalar_loss(params_all):
-            total, _aux = self._loss_fn(params_all, batch, vtm, alpha)
+            total, _aux = self._loss_fn(params_all, batch, vtm, sc)
             return total
 
         t0 = time.time()
@@ -492,7 +512,8 @@ class PINNSolver:
                    pts_per_step, stage_elapsed, total_elapsed, lr):
         if self.rank != 0:
             return
-        re_eff = 1.0 / (1.0 / self.Re + float(m.vis_t_mean)) if self.evm else self.Re
+        re_now = getattr(self, "current_re", self.Re)
+        re_eff = 1.0 / (1.0 / re_now + float(m.vis_t_mean)) if self.evm else re_now
         throughput = interval_it_s * pts_per_step
         eta = (num_epoch - done) / max(avg_it_s, 1e-9)
         width = 30

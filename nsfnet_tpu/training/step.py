@@ -23,7 +23,7 @@ stage changes never retrace.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,24 +36,38 @@ from nsfnet_tpu.training.state import Batch, StepMetrics, TrainState
 Engine = Callable[..., tuple]  # (params, X[N,2]) -> Derivs
 
 
+class StageScalars(NamedTuple):
+    """Per-stage runtime scalars — traced, so stage changes never retrace.
+
+    Beyond the reference's per-stage (lr, alpha_evm), the framework supports
+    a staged-Re curriculum and boundary-weight annealing (BASELINE.json
+    config 'NSFnet Re=2000 with staged-Re curriculum, boundary-weight
+    annealing, L-BFGS polish')."""
+
+    lr: jax.Array
+    alpha_evm: jax.Array
+    re: jax.Array
+    alpha_b: jax.Array
+
+
 def make_loss_fn(
     engine: Engine,
     apply_main: Callable,
     apply_evm: Optional[Callable],
-    re: float,
     coord_scale: float,
-    alpha_b: float,
     alpha_e: float,
     alpha_s: float,
     entropy_weight: float = 0.1,
     evm: bool = True,
 ):
     """Build the pure loss function. Static config is closed over; runtime
-    scalars (alpha_evm) are arguments so stages don't retrace."""
-    vis_t0 = 20.0 / re  # ev-NSFnet/pinn_solver.py:67
+    scalars (lr/alpha_evm/Re/bc weight) are arguments so stages don't
+    retrace."""
 
-    def loss_fn(params_all, batch: Batch, vis_t_minus, alpha_evm):
+    def loss_fn(params_all, batch: Batch, vis_t_minus, sc: StageScalars):
         params, params_evm = params_all
+        re = sc.re
+        vis_t0 = 20.0 / re  # ev-NSFnet/pinn_solver.py:67
         x_eq = jnp.concatenate([batch.x_f, batch.y_f], axis=1)
 
         derivs = engine(params, x_eq)
@@ -61,7 +75,7 @@ def make_loss_fn(
             e = apply_evm(params_evm, x_eq)[:, 0:1]
             vis_t = R.next_vis_t(vis_t_minus, vis_t0)
             res = R.ev_ns_residuals(derivs, e, vis_t, re, coord_scale)
-            new_vis_t_minus = R.update_vis_t_minus(e, alpha_evm)
+            new_vis_t_minus = R.update_vis_t_minus(e, sc.alpha_evm)
             vis_t_mean = jnp.sum(vis_t * batch.eq_w) / batch.n_f
         else:
             res = R.ns_residuals(derivs, re, coord_scale)
@@ -86,7 +100,7 @@ def make_loss_fn(
         else:
             loss_s = jnp.zeros(())
 
-        total = alpha_b * loss_b + alpha_e * loss_e + alpha_s * loss_s
+        total = sc.alpha_b * loss_b + alpha_e * loss_e + alpha_s * loss_s
         metrics = StepMetrics(total, loss_b, loss_e, loss_s, l1, l2, l3, l4, vis_t_mean)
         return total, (metrics, new_vis_t_minus)
 
@@ -105,10 +119,11 @@ def make_train_step(
     stage-epoch counter, leaving its params AND moments untouched on frozen
     steps (exact freeze semantics without optimizer rebuilds)."""
 
-    def train_step(state: TrainState, batch: Batch, lr, alpha_evm):
+    def train_step(state: TrainState, batch: Batch, sc: StageScalars):
         (_, (metrics, new_vtm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            (state.params, state.params_evm), batch, state.vis_t_minus, alpha_evm)
+            (state.params, state.params_evm), batch, state.vis_t_minus, sc)
         g_main, g_evm = grads
+        lr = sc.lr
 
         upd, new_opt_main = tx_main.update(g_main, state.opt_main, state.params)
         new_params = jax.tree.map(lambda p, u: p - lr * u, state.params, upd)
@@ -158,21 +173,18 @@ def make_chunk_runner(train_step, matmul_precision: str = "highest"):
     """
 
     @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnames=("state",))
-    def run_chunk(state: TrainState, batch: Batch, lr, alpha_evm, n_steps: int):
+    def run_chunk(state: TrainState, batch: Batch, sc: StageScalars, n_steps: int):
         with jax.default_matmul_precision(matmul_precision):
             def body(carry, _):
-                new_carry, metrics = train_step(carry, batch, lr, alpha_evm)
+                new_carry, _metrics = train_step(carry, batch, sc)
                 return new_carry, None
 
-            # carry metrics via a final extra step? No: run n_steps-1 silent
-            # steps, then one metric-reporting step, all inside the scan.
-            def body_with_metrics(carry, _):
-                new_carry, metrics = train_step(carry, batch, lr, alpha_evm)
-                return new_carry, metrics
-
+            # n_steps-1 silent steps in a scan, then one metric-reporting
+            # step (the reference logs only the interval's last epoch,
+            # pinn_solver.py:478-480).
             if n_steps > 1:
                 state, _ = jax.lax.scan(body, state, None, length=n_steps - 1)
-            state, metrics = train_step(state, batch, lr, alpha_evm)
+            state, metrics = train_step(state, batch, sc)
         return state, metrics
 
     return run_chunk

@@ -1,0 +1,212 @@
+"""End-to-end solver tests on the 8-device CPU mesh (SURVEY §4 strategy):
+smoke convergence, mesh-size invariance, EVM freeze schedule, checkpoint
+resume exactness, evaluate/test drivers.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsfnet_tpu.data.cavity import CavityData
+from nsfnet_tpu.parallel.mesh import create_mesh
+from nsfnet_tpu.training.solver import PINNSolver, PysicsInformedNeuralNetwork
+
+
+def _make_solver(**kw):
+    defaults = dict(Re=100, layers=3, layers_1=2, hidden_size=24, hidden_size_1=12,
+                    N_f=512, alpha_evm=0.03, bc_weight=10, eq_weight=1,
+                    log_interval=10_000_000, checkpoint_freq=10_000_000, seed=7)
+    defaults.update(kw)
+    return PINNSolver(**defaults)
+
+
+def _attach_data(solver, n_f=512, seed=0, **data_kw):
+    data = CavityData(N_f=n_f, sort_training_points=False, seed=seed, **data_kw)
+    solver.set_boundary_data(X=data.boundary_data())
+    solver.set_eq_training_data(X=data.training_data(),
+                                weights=data.sdf_weights)
+    return data
+
+
+def _loss_of(solver):
+    solver._ensure_ready()
+    total, _ = solver._loss_fn(
+        (solver.state.params, solver.state.params_evm),
+        solver._batch, solver.state.vis_t_minus, solver._stage_scalars(0.0))
+    return float(total)
+
+
+def test_smoke_training_loss_decreases():
+    solver = _make_solver()
+    _attach_data(solver)
+    before = _loss_of(solver)
+    solver.train(num_epoch=200, lr=1e-3)
+    after = _loss_of(solver)
+    assert after < 0.5 * before, (before, after)
+
+
+def test_vanilla_variant_trains():
+    solver = _make_solver(evm=False, layers_1=None)
+    _attach_data(solver)
+    assert solver.state.params_evm is None
+    before = _loss_of(solver)
+    solver.train(num_epoch=100, lr=1e-3)
+    assert _loss_of(solver) < before
+
+
+def test_mesh_size_invariance():
+    """1-device and 8-device meshes must produce the same training result
+    (global-mean loss semantics, replicated params)."""
+    results = []
+    for n in (1, 8):
+        solver = _make_solver(mesh=create_mesh(n))
+        _attach_data(solver)
+        solver.train(num_epoch=20, lr=1e-3)
+        leaves = jax.tree.leaves(solver.state.params)
+        results.append(np.concatenate([np.asarray(l).ravel() for l in leaves]))
+    np.testing.assert_allclose(results[0], results[1], rtol=2e-4, atol=1e-6)
+
+
+def test_evm_freeze_schedule():
+    """EVM params update only on stage-epochs k*evm_update_freq, k>=1
+    (parity with ev-NSFnet/pinn_solver.py:456-462)."""
+    solver = _make_solver(evm_update_freq=5)
+    _attach_data(solver)
+
+    def evm_flat(s):
+        return np.concatenate([np.asarray(l).ravel()
+                               for l in jax.tree.leaves(s.state.params_evm)])
+
+    init = evm_flat(solver)
+    solver.train(num_epoch=5, lr=1e-3)  # epochs 0..4: no EVM step
+    np.testing.assert_array_equal(evm_flat(solver), init)
+
+    solver2 = _make_solver(evm_update_freq=5)
+    _attach_data(solver2)
+    init2 = evm_flat(solver2)
+    solver2.train(num_epoch=6, lr=1e-3)  # epoch 5 triggers one EVM step
+    assert np.any(evm_flat(solver2) != init2)
+
+
+def test_main_net_params_always_update():
+    solver = _make_solver()
+    _attach_data(solver)
+    before = np.asarray(jax.tree.leaves(solver.state.params)[0]).copy()
+    solver.train(num_epoch=2, lr=1e-3)
+    after = np.asarray(jax.tree.leaves(solver.state.params)[0])
+    assert np.any(before != after)
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    """Full-state checkpoint: resumed training is bit-identical to
+    uninterrupted training (params, Adam moments, vis_t carry, counters)."""
+    ckpt = str(tmp_path / "state.ckpt")
+
+    solver_a = _make_solver()
+    _attach_data(solver_a)
+    solver_a.train(num_epoch=3, lr=1e-3)
+    solver_a.save("state.ckpt", directory=str(tmp_path))
+    solver_a.train(num_epoch=4, lr=1e-3)
+    ref = np.asarray(jax.tree.leaves(solver_a.state.params)[0])
+
+    solver_b = _make_solver()
+    _attach_data(solver_b)
+    solver_b.load(ckpt)
+    assert int(solver_b.state.step) == 3
+    solver_b.train(num_epoch=4, lr=1e-3)
+    got = np.asarray(jax.tree.leaves(solver_b.state.params)[0])
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_evaluate_and_test_mat_roundtrip(tmp_path):
+    import scipy.io
+
+    solver = _make_solver()
+    _attach_data(solver)
+    n = 16
+    g = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(g, g)
+    u_pred, v_pred, p_pred, _ = solver.neural_net_u(X.ravel(), Y.ravel())
+    errs = solver.evaluate(X.ravel(), Y.ravel(),
+                           np.asarray(u_pred), np.asarray(v_pred), np.asarray(p_pred))
+    assert errs["u"] < 1e-4 and errs["v"] < 1e-4 and errs["p"] < 1e-4
+
+    errs2 = solver.test(X.ravel(), Y.ravel(),
+                        np.asarray(u_pred) + 0.1, np.asarray(v_pred),
+                        np.asarray(p_pred), loop=0, save_dir=str(tmp_path))
+    assert errs2["u"] > 1.0
+    mat = scipy.io.loadmat(os.path.join(str(tmp_path), "cavity_result_loop_0.mat"))
+    assert mat["U_pred"].shape == (n, n)
+    assert "E_pred" in mat and "error_u" in mat
+
+
+def test_supervised_data_path():
+    solver = _make_solver()
+    data = _attach_data(solver)
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(0, 1, (32, 1)).astype(np.float32)
+    ys = rng.uniform(0, 1, (32, 1)).astype(np.float32)
+    us = rng.normal(size=(32, 1)).astype(np.float32)
+    vs = rng.normal(size=(32, 1)).astype(np.float32)
+    ps = rng.normal(size=(32, 1)).astype(np.float32)
+    ps[::3] = np.nan  # reference masks NaN pressure targets
+    solver.set_supervised_data((xs, ys, us, vs, ps))
+    solver.set_supervised_loss_weight(1.0)
+    before = _loss_of(solver)
+    solver.train(num_epoch=50, lr=1e-3)
+    after = _loss_of(solver)
+    assert np.isfinite(after) and after < before
+
+
+def test_sdf_weighted_training():
+    solver = _make_solver()
+    _attach_data(solver, sdf_enabled=True)
+    solver.train(num_epoch=5, lr=1e-3)
+    assert np.isfinite(_loss_of(solver))
+
+
+def test_coordinate_transform_training():
+    solver = _make_solver()
+    data = CavityData(N_f=512, sort_training_points=False, seed=0, coord_transform=True)
+    solver.set_boundary_data(X=data.boundary_data())
+    solver.set_eq_training_data(X=data.training_data())
+    solver.set_coordinate_transform(data.coord_scale)
+    solver.train(num_epoch=5, lr=1e-3)
+    assert np.isfinite(_loss_of(solver))
+
+
+def test_reference_class_alias():
+    assert PysicsInformedNeuralNetwork is PINNSolver
+
+
+def test_lbfgs_polish_reduces_loss():
+    solver = _make_solver()
+    _attach_data(solver)
+    solver.train(num_epoch=50, lr=1e-3)
+    before = _loss_of(solver)
+    solver.train(num_epoch=15, optimizer="lbfgs")
+    after = _loss_of(solver)
+    assert after < before
+
+
+def test_kan_backbone_trains():
+    solver = _make_solver(backbone="kan", kan_width=(2, 8, 8), evm=False,
+                          layers_1=None)
+    _attach_data(solver, n_f=256)
+    before = _loss_of(solver)
+    solver.train(num_epoch=50, lr=1e-2)
+    assert _loss_of(solver) < before
+
+
+def test_staged_re_and_bc_weight_override():
+    """Per-stage Re / bc_weight (staged-Re curriculum, boundary-weight
+    annealing) are runtime scalars — no recompilation between stages."""
+    solver = _make_solver()
+    _attach_data(solver)
+    solver.train(num_epoch=5, lr=1e-3, Re=50.0, bc_weight=5.0)
+    assert solver.current_re == 50.0 and solver.current_alpha_b == 5.0
+    solver.train(num_epoch=5, lr=1e-3, Re=200.0, bc_weight=20.0)
+    assert np.isfinite(_loss_of(solver))
