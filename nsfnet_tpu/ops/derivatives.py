@@ -42,14 +42,28 @@ def _directional_second_order(apply_fn: Callable[[jax.Array], jax.Array],
     return out, d1, d2
 
 
+def _unit_tangents(x: jax.Array):
+    """Coordinate-direction tangent batches.
+
+    Wrapped in an optimization_barrier: if the tangents stay visible as
+    broadcasted constants, XLA's algebraic simplifier rewrites the
+    first-layer tangent matmuls into degenerate dots that crash the TPU
+    fusion cost model (SIGILL CHECK-trap in
+    TpuPriorityFusionQueue::NormalizedComputationCost, observed on
+    libtpu/v5e). The barrier keeps them as opaque runtime values.
+    """
+    ex = jnp.broadcast_to(jnp.asarray([1.0, 0.0], x.dtype), x.shape)
+    ey = jnp.broadcast_to(jnp.asarray([0.0, 1.0], x.dtype), x.shape)
+    return jax.lax.optimization_barrier((ex, ey))
+
+
 def derivatives_2d(apply_fn: Callable[[jax.Array], jax.Array], x: jax.Array) -> Derivs:
     """All 1st and diagonal 2nd derivatives of f: [N,2] -> [N,K] wrt x and y.
 
     `apply_fn` must be a pure batched function (params already closed over).
     The identical primal forward appears in both sweeps; XLA CSE merges it.
     """
-    ex = jnp.broadcast_to(jnp.asarray([1.0, 0.0], x.dtype), x.shape)
-    ey = jnp.broadcast_to(jnp.asarray([0.0, 1.0], x.dtype), x.shape)
+    ex, ey = _unit_tangents(x)
     out, fx, fxx = _directional_second_order(apply_fn, x, ex)
     _, fy, fyy = _directional_second_order(apply_fn, x, ey)
     return out, fx, fy, fxx, fyy
@@ -58,8 +72,7 @@ def derivatives_2d(apply_fn: Callable[[jax.Array], jax.Array], x: jax.Array) -> 
 def first_derivatives_2d(apply_fn: Callable[[jax.Array], jax.Array], x: jax.Array):
     """(out, d/dx, d/dy) only — for first-order residual formulations
     (e.g. the reference KAN notebook's residual, which uses no Laplacian)."""
-    ex = jnp.broadcast_to(jnp.asarray([1.0, 0.0], x.dtype), x.shape)
-    ey = jnp.broadcast_to(jnp.asarray([0.0, 1.0], x.dtype), x.shape)
+    ex, ey = _unit_tangents(x)
     out, fx = jax.jvp(apply_fn, (x,), (ex,))
     _, fy = jax.jvp(apply_fn, (x,), (ey,))
     return out, fx, fy
@@ -74,18 +87,27 @@ def mlp_derivatives_2d(params: Params, x: jax.Array) -> Derivs:
         t_x  = s * z_x
         t_xx = -2 t s * z_x^2 + s * z_xx
 
-    The head layer is linear. Five matmuls per layer against the SAME W —
-    the memory traffic of one forward, ~5x its FLOPs, all MXU work.
+    The first layer is handled analytically: its input tangents are the
+    coordinate unit vectors, so z_x/z_y are just the rows of W0 (broadcast,
+    VPU work) and z_xx = z_yy = 0 — four matmuls removed, and it avoids
+    constant-tangent dots that crash the TPU fusion cost model (see
+    _unit_tangents). The head layer is linear. Five matmuls per hidden
+    layer against the SAME W — the memory traffic of one forward, ~5x its
+    FLOPs, all MXU work.
     """
-    n = x.shape[0]
-    dt = x.dtype
-    h = x
-    hx = jnp.broadcast_to(jnp.asarray([1.0, 0.0], dt), (n, 2))
-    hy = jnp.broadcast_to(jnp.asarray([0.0, 1.0], dt), (n, 2))
-    hxx = jnp.zeros((n, 2), dt)
-    hyy = jnp.zeros((n, 2), dt)
+    w0, b0 = params[0]
+    z = x @ w0 + b0
+    t = jnp.tanh(z)
+    s = 1.0 - t * t
+    curv = -2.0 * t * s
+    wx, wy = w0[0], w0[1]  # d z0 / dx, d z0 / dy (constant rows)
+    h = t
+    hx = s * wx
+    hy = s * wy
+    hxx = curv * (wx * wx)
+    hyy = curv * (wy * wy)
 
-    for w, b in params[:-1]:
+    for w, b in params[1:-1]:
         z = h @ w + b
         zx, zy, zxx, zyy = hx @ w, hy @ w, hxx @ w, hyy @ w
         t = jnp.tanh(z)
