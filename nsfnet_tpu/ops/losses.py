@@ -29,12 +29,19 @@ import jax
 import jax.numpy as jnp
 
 
+def masked_sum_sq(residual: jax.Array, weights: jax.Array) -> jax.Array:
+    """sum(w * r^2) over the local shard. Under shard_map the caller psums
+    the stacked sums once; counts are global, so sums/count is the exact
+    global mean."""
+    r = residual.reshape(-1)
+    w = weights.reshape(-1)
+    return jnp.sum(w * r * r)
+
+
 def masked_mean_sq(residual: jax.Array, weights: jax.Array, count) -> jax.Array:
     """sum(w * r^2) / count. `weights` is 0 on pad rows; for the unweighted
     case it is the 0/1 validity mask. `count` = number of real points."""
-    r = residual.reshape(-1)
-    w = weights.reshape(-1)
-    return jnp.sum(w * r * r) / count
+    return masked_sum_sq(residual, weights) / count
 
 
 class LossBundle(NamedTuple):

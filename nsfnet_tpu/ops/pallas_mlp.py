@@ -1,0 +1,313 @@
+"""Fused Pallas TPU kernel: tanh-MLP value + Taylor-tangent propagation.
+
+This is the speed-of-light path for the PINN residual engine. The XLA
+version (ops/derivatives.py:mlp_derivatives_2d) materializes every per-layer
+stream ([N,H] x 5 per layer) through HBM; at production size the step is
+HBM-bandwidth-bound (measured: matmul precision barely moves it). This
+kernel keeps everything resident in VMEM across ALL layers and — the key
+structural trick — PACKS the five Taylor streams (h, h_x, h_y, h_xx, h_yy)
+into one [5T, H] block so each layer is ONE MXU matmul against the shared
+weight matrix instead of five skinny ones:
+
+    forward   : Z = P W           (P = packed carries,   [5T,H] @ [H,H])
+    grad-accum: dW = P_in^T G_z   (packed inputs x packed z-cotangents)
+    backprop  : G_in = G_z W^T
+
+Backward is a second kernel registered via jax.custom_vjp: it REMATERIALIZES
+the forward carries in VMEM (recompute is MXU-cheap; saving residuals to HBM
+would reintroduce the bandwidth wall) and accumulates weight/bias gradients
+in revisited output blocks across the sequential TPU grid.
+
+Gradients flow to the parameters only; the collocation coordinates x are
+constants of the optimization (reference semantics: x_f is an autograd
+input, never updated — ev-NSFnet/pinn_solver.py:171).
+
+Layer math (s = 1-t^2 = tanh', c = -2ts = tanh''):
+    forward:  z = hW+b, z* = h*W;  t = tanh(z)
+              h' = t, h'_x = s z_x, h'_xx = c z_x^2 + s z_xx   (same for y)
+    backward: g_z   = G_h s + (G_x z_x + G_y z_y) c
+                      + G_xx ((6t^2-2)s z_x^2 + c z_xx)
+                      + G_yy ((6t^2-2)s z_y^2 + c z_yy)
+              g_zx  = G_x s + 2 G_xx c z_x       g_zxx = G_xx s
+              g_zy  = G_y s + 2 G_yy c z_y       g_zyy = G_yy s
+The first layer is analytic: z_x/z_y are the rows of W0 and z_xx = z_yy = 0,
+with extra direct terms dW0[0] += sum(G_x s0 + 2 G_xx c0 wx), etc.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsfnet_tpu.models.mlp import Params
+
+TILE = 512       # forward tile; also the padding granule
+BWD_TILE = 256   # backward holds all per-layer carries in VMEM -> smaller tile
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=_PREC, preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a^T @ b for [T,M]x[T,N] -> [M,N]."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               precision=_PREC, preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a @ b^T for [T,N]x[M,N] -> [T,M]."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               precision=_PREC, preferred_element_type=jnp.float32)
+
+
+def _first_layer_packed(x, w0, b0, t_dim):
+    """Analytic first layer -> packed carries [5T, H] = [t; s wx; s wy;
+    c wx^2; c wy^2]."""
+    wx, wy = w0[0:1, :], w0[1:2, :]
+    z = x[:, 0:1] * wx + x[:, 1:2] * wy + b0  # VPU broadcast, no K=2 matmul
+    t = jnp.tanh(z)
+    s = 1.0 - t * t
+    c = -2.0 * t * s
+    packed = jnp.concatenate(
+        [t, s * wx, s * wy, c * (wx * wx), c * (wy * wy)], axis=0)
+    return packed, t, s, c
+
+
+def _layer_packed(p_in, w, b, t_dim):
+    """One hidden transition on packed carries. Returns (p_out, t, ztan)
+    where ztan is the packed tangent part [4T, H] of the pre-activation."""
+    z_all = _dot(p_in, w)
+    z = z_all[0:t_dim] + b
+    zx = z_all[t_dim:2 * t_dim]
+    zy = z_all[2 * t_dim:3 * t_dim]
+    zxx = z_all[3 * t_dim:4 * t_dim]
+    zyy = z_all[4 * t_dim:5 * t_dim]
+    t = jnp.tanh(z)
+    s = 1.0 - t * t
+    c = -2.0 * t * s
+    p_out = jnp.concatenate(
+        [t, s * zx, s * zy, c * zx * zx + s * zxx, c * zy * zy + s * zyy], axis=0)
+    return p_out, t, z_all[t_dim:]
+
+
+# --------------------------------------------------------------------- fwd
+
+def _fwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
+    w_refs = refs[: 2 * (n_hidden + 1)]
+    o, ox, oy, oxx, oyy = refs[2 * (n_hidden + 1):]
+
+    x = x_ref[:]
+    p, _, _, _ = _first_layer_packed(x, w_refs[0][:], w_refs[1][:], t_dim)
+    for l in range(1, n_hidden):
+        p, _, _ = _layer_packed(p, w_refs[2 * l][:], w_refs[2 * l + 1][:], t_dim)
+
+    wh, bh = w_refs[-2][:], w_refs[-1][:]
+    out_all = _dot(p, wh)  # [5T, K]
+    o[:] = out_all[0:t_dim] + bh
+    ox[:] = out_all[t_dim:2 * t_dim]
+    oy[:] = out_all[2 * t_dim:3 * t_dim]
+    oxx[:] = out_all[3 * t_dim:4 * t_dim]
+    oyy[:] = out_all[4 * t_dim:5 * t_dim]
+
+
+def _flat_weights(params: Params):
+    flat = []
+    for w, b in params:
+        flat.append(w)
+        flat.append(b.reshape(1, -1))
+    return flat
+
+
+def _weight_specs(params: Params):
+    specs = []
+    for w, b in params:
+        specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
+def _fwd_pallas(params: Params, x: jax.Array):
+    n_hidden = len(params) - 1
+    n, _ = x.shape
+    k = params[-1][0].shape[1]
+    assert n % TILE == 0, f"batch {n} must be padded to a multiple of {TILE}"
+    grid = (n // TILE,)
+
+    out_spec = pl.BlockSpec((TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, k), jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n_hidden, TILE),
+        grid=grid,
+        in_specs=[pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + _weight_specs(params),
+        out_specs=(out_spec,) * 5,
+        out_shape=(out_shape,) * 5,
+        interpret=_interpret(),
+    )(x, *_flat_weights(params))
+
+
+# --------------------------------------------------------------------- bwd
+
+def _bwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
+    """Recompute packed forward carries in VMEM, then one reverse sweep with
+    packed cotangents; dW/db accumulate into revisited output blocks
+    (constant index map, sequential grid)."""
+    n_w = 2 * (n_hidden + 1)
+    w_refs = refs[:n_w]
+    g_refs = refs[n_w:n_w + 5]
+    d_refs = refs[n_w + 5:]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        for d in d_refs:
+            d[:] = jnp.zeros(d.shape, d.dtype)
+
+    x = x_ref[:]
+    w0 = w_refs[0][:]
+    wx, wy = w0[0:1, :], w0[1:2, :]
+
+    # ---- forward recompute, keeping packed carries and tangents
+    p0, t0, s0, c0 = _first_layer_packed(x, w0, w_refs[1][:], t_dim)
+    packs = [p0]          # P_l: packed outputs of layer l, [5T,H]
+    ts = [t0]             # post-activations
+    ztans = [None]        # packed pre-activation tangents [4T,H], l>=1
+    for l in range(1, n_hidden):
+        p, t, ztan = _layer_packed(packs[-1], w_refs[2 * l][:],
+                                   w_refs[2 * l + 1][:], t_dim)
+        packs.append(p)
+        ts.append(t)
+        ztans.append(ztan)
+
+    # ---- head backward (packed)
+    wh = w_refs[-2][:]
+    g_head = jnp.concatenate([r[:] for r in g_refs], axis=0)  # [5T, K]
+    d_refs[-2][:] += _dot_tn(packs[-1], g_head)
+    d_refs[-1][:] += jnp.sum(g_refs[0][:], axis=0, keepdims=True)
+    gp = _dot_nt(g_head, wh)  # packed carry cotangents [5T, H]
+
+    # ---- hidden transitions, reverse
+    for l in range(n_hidden - 1, 0, -1):
+        t = ts[l]
+        s = 1.0 - t * t
+        c = -2.0 * t * s
+        u = (6.0 * t * t - 2.0) * s
+        ztan = ztans[l]
+        zx = ztan[0:t_dim]
+        zy = ztan[t_dim:2 * t_dim]
+        zxx = ztan[2 * t_dim:3 * t_dim]
+        zyy = ztan[3 * t_dim:4 * t_dim]
+        gh = gp[0:t_dim]
+        ghx = gp[t_dim:2 * t_dim]
+        ghy = gp[2 * t_dim:3 * t_dim]
+        ghxx = gp[3 * t_dim:4 * t_dim]
+        ghyy = gp[4 * t_dim:5 * t_dim]
+
+        g_z = (gh * s + (ghx * zx + ghy * zy) * c
+               + ghxx * (u * zx * zx + c * zxx)
+               + ghyy * (u * zy * zy + c * zyy))
+        g_zpack = jnp.concatenate(
+            [g_z,
+             ghx * s + 2.0 * ghxx * c * zx,
+             ghy * s + 2.0 * ghyy * c * zy,
+             ghxx * s,
+             ghyy * s], axis=0)  # [5T, H]
+
+        d_refs[2 * l][:] += _dot_tn(packs[l - 1], g_zpack)
+        d_refs[2 * l + 1][:] += jnp.sum(g_z, axis=0, keepdims=True)
+        gp = _dot_nt(g_zpack, w_refs[2 * l][:])
+
+    # ---- first layer (analytic tangents)
+    gh = gp[0:t_dim]
+    ghx = gp[t_dim:2 * t_dim]
+    ghy = gp[2 * t_dim:3 * t_dim]
+    ghxx = gp[3 * t_dim:4 * t_dim]
+    ghyy = gp[4 * t_dim:5 * t_dim]
+    u0 = (6.0 * t0 * t0 - 2.0) * s0
+    g_z0 = (gh * s0 + (ghx * wx + ghy * wy) * c0
+            + (ghxx * (wx * wx) + ghyy * (wy * wy)) * u0)
+    dwx = jnp.sum(x[:, 0:1] * g_z0 + ghx * s0 + 2.0 * ghxx * c0 * wx,
+                  axis=0, keepdims=True)
+    dwy = jnp.sum(x[:, 1:2] * g_z0 + ghy * s0 + 2.0 * ghyy * c0 * wy,
+                  axis=0, keepdims=True)
+    d_refs[0][:] += jnp.concatenate([dwx, dwy], axis=0)
+    d_refs[1][:] += jnp.sum(g_z0, axis=0, keepdims=True)
+
+
+def _bwd_pallas(params: Params, x: jax.Array, cotangents):
+    n_hidden = len(params) - 1
+    n, _ = x.shape
+    k = params[-1][0].shape[1]
+    assert n % BWD_TILE == 0
+    grid = (n // BWD_TILE,)
+
+    d_specs, d_shapes = [], []
+    for w, b in params:
+        d_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        d_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM))
+        d_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        d_shapes.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
+
+    g_spec = pl.BlockSpec((BWD_TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    flat = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_hidden, BWD_TILE),
+        grid=grid,
+        in_specs=[pl.BlockSpec((BWD_TILE, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + _weight_specs(params) + [g_spec] * 5,
+        out_specs=tuple(d_specs),
+        out_shape=tuple(d_shapes),
+        interpret=_interpret(),
+    )(x, *_flat_weights(params), *cotangents)
+
+    grads = []
+    for l in range(len(params)):
+        grads.append((flat[2 * l], flat[2 * l + 1].reshape(-1)))
+    return tuple(grads)
+
+
+# ------------------------------------------------------------------ public
+
+@jax.custom_vjp
+def fused_mlp_derivatives(params: Params, x: jax.Array):
+    """Pallas-fused equivalent of ops.derivatives.mlp_derivatives_2d.
+
+    Returns (out, d/dx, d/dy, d2/dx2, d2/dy2), each [N, K]. Differentiable
+    wrt params only (x receives zero cotangent — collocation points are
+    optimization constants). Batch N must be a multiple of TILE (512); the
+    solver pads batches accordingly.
+    """
+    return _fwd_pallas(params, x)
+
+
+def _vjp_fwd(params, x):
+    return _fwd_pallas(params, x), (params, x)
+
+
+def _vjp_bwd(res, cts):
+    params, x = res
+    return _bwd_pallas(params, x, cts), jnp.zeros_like(x)
+
+
+fused_mlp_derivatives.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def pad_for_pallas(n: int) -> int:
+    """Smallest multiple of TILE >= n."""
+    return int(-(-n // TILE) * TILE)

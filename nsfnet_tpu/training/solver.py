@@ -39,6 +39,7 @@ from nsfnet_tpu.training.step import (
     StageScalars,
     make_chunk_runner,
     make_loss_fn,
+    make_sharded_chunk_runner,
     make_train_step,
 )
 from nsfnet_tpu.utils.tensorboard import ScalarWriter
@@ -86,6 +87,7 @@ class PINNSolver:
         matmul_precision: str = "highest",
         evm_update_freq: int = 10000,
         log_interval: int = 1000,
+        engine: str = "auto",  # auto | pallas | xla — residual-engine backend
     ):
         self.Re = float(Re)
         self.vis_t0 = 20.0 / self.Re  # ev-NSFnet/pinn_solver.py:67
@@ -113,6 +115,10 @@ class PINNSolver:
         self.mesh = mesh if mesh is not None else pmesh.create_mesh(mesh_devices)
         self.rank = jax.process_index()
         self.world_size = self.mesh.devices.size
+        if engine == "auto":
+            is_tpu = self.mesh.devices.flat[0].platform == "tpu"
+            engine = "pallas" if (is_tpu and backbone == "mlp") else "xla"
+        self.engine = engine
 
         key = jax.random.PRNGKey(seed)
         k_main, k_evm = jax.random.split(key)
@@ -238,7 +244,14 @@ class PINNSolver:
 
         x_f, y_f = self._eq
         n_f = x_f.shape[0]
-        nf_pad = pmesh.padded_size(n_f, msize)
+        # Pallas engine needs each per-device shard to be a whole number of
+        # kernel tiles.
+        eq_lane = 8
+        if self.engine == "pallas":
+            from nsfnet_tpu.ops.pallas_mlp import TILE
+
+            eq_lane = TILE
+        nf_pad = pmesh.padded_size(n_f, msize, lane=eq_lane)
         w = self._eq_weights if self._eq_weights is not None else np.ones((n_f, 1), np.float32)
         eq_w = pmesh.pad_rows(w, nf_pad, 0.0)
 
@@ -287,18 +300,20 @@ class PINNSolver:
                 self.state = self.state._replace(vis_t_minus=sh(vtm))
         return batch
 
-    def _engine(self):
+    def _engine(self, kind: Optional[str] = None):
+        kind = kind or self.engine
         if self._generic_engine:
             apply = self.net.apply
             return lambda params, x: derivatives_2d(lambda z: apply(params, z), x)
+        if kind == "pallas":
+            from nsfnet_tpu.ops.pallas_mlp import fused_mlp_derivatives
+
+            return fused_mlp_derivatives
         return mlp_derivatives_2d
 
-    def _ensure_ready(self):
-        if not self._dirty and self._runner is not None:
-            return
-        self._batch = self._build_batch()
-        loss_fn = make_loss_fn(
-            engine=self._engine(),
+    def _make_loss(self, engine_kind: str, axis_name: Optional[str]):
+        return make_loss_fn(
+            engine=self._engine(engine_kind),
             apply_main=self.net.apply,
             apply_evm=self.net_1.apply if self.evm else None,
             coord_scale=self.coord_scale,
@@ -306,12 +321,32 @@ class PINNSolver:
             alpha_s=self.alpha_s,
             entropy_weight=self.entropy_residual_weight,
             evm=self.evm,
+            axis_name=axis_name,
         )
-        self._loss_fn = loss_fn
+
+    def _ensure_ready(self):
+        if not self._dirty and self._runner is not None:
+            return
+        self._batch = self._build_batch()
+        # XLA auto-partitions the jit path; a Pallas custom call cannot be
+        # auto-partitioned, so the multi-device Pallas path runs the step
+        # under shard_map with explicit psums.
+        sharded = self.engine == "pallas" and self.world_size > 1
+        axis_name = pmesh.DATA_AXIS if sharded else None
+        loss_fn = self._make_loss(self.engine, axis_name)
+        # diagnostics/L-BFGS loss: XLA engine, no collectives — valid under
+        # plain jit on any mesh (math identical to the pallas engine, tested)
+        self._loss_fn = self._make_loss("xla", None)
         train_step = make_train_step(
             loss_fn, self.tx_main, self.tx_evm,
-            evm_update_freq=self.evm_update_freq, evm=self.evm)
-        self._runner = make_chunk_runner(train_step, self.matmul_precision)
+            evm_update_freq=self.evm_update_freq, evm=self.evm,
+            axis_name=axis_name)
+        if sharded:
+            self._runner = make_sharded_chunk_runner(
+                train_step, self.mesh, self.state, self._batch,
+                self.matmul_precision, data_axis=pmesh.DATA_AXIS)
+        else:
+            self._runner = make_chunk_runner(train_step, self.matmul_precision)
         self._dirty = False
 
     # ------------------------------------------------------------- training

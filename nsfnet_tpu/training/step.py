@@ -59,10 +59,16 @@ def make_loss_fn(
     alpha_s: float,
     entropy_weight: float = 0.1,
     evm: bool = True,
+    axis_name: Optional[str] = None,
 ):
     """Build the pure loss function. Static config is closed over; runtime
     scalars (lr/alpha_evm/Re/bc weight) are arguments so stages don't
-    retrace."""
+    retrace.
+
+    axis_name: set when the loss runs inside shard_map — every component is
+    a local-sum/global-count, so one stacked psum turns them into exact
+    global means (the collective-light version of the reference's per-rank
+    loss all_reduce, ev-NSFnet/pinn_solver.py:413-424)."""
 
     def loss_fn(params_all, batch: Batch, vis_t_minus, sc: StageScalars):
         params, params_evm = params_all
@@ -100,6 +106,13 @@ def make_loss_fn(
         else:
             loss_s = jnp.zeros(())
 
+        if axis_name is not None:
+            # one collective for all components (each is local-sum/global-count)
+            stacked = jax.lax.psum(
+                jnp.stack([loss_b, l1, l2, l3, l4, loss_s, vis_t_mean]), axis_name)
+            loss_b, l1, l2, l3, l4, loss_s, vis_t_mean = stacked
+            loss_e = l1 + l2 + l3 + (entropy_weight * l4 if evm else 0.0)
+
         total = sc.alpha_b * loss_b + alpha_e * loss_e + alpha_s * loss_s
         metrics = StepMetrics(total, loss_b, loss_e, loss_s, l1, l2, l3, l4, vis_t_mean)
         return total, (metrics, new_vis_t_minus)
@@ -113,15 +126,21 @@ def make_train_step(
     tx_evm: Optional[optax.GradientTransformation],
     evm_update_freq: int = 10000,
     evm: bool = True,
+    axis_name: Optional[str] = None,
 ):
     """Adam with runtime learning rate: tx = scale_by_adam, applied as
     params += -lr * direction. The EVM update is gated by lax.cond on the
     stage-epoch counter, leaving its params AND moments untouched on frozen
-    steps (exact freeze semantics without optimizer rebuilds)."""
+    steps (exact freeze semantics without optimizer rebuilds).
+
+    axis_name: inside shard_map, per-shard gradients are psummed before the
+    optimizer update (the DDP-allreduce equivalent, compiled over ICI)."""
 
     def train_step(state: TrainState, batch: Batch, sc: StageScalars):
         (_, (metrics, new_vtm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             (state.params, state.params_evm), batch, state.vis_t_minus, sc)
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
         g_main, g_evm = grads
         lr = sc.lr
 
@@ -186,5 +205,53 @@ def make_chunk_runner(train_step, matmul_precision: str = "highest"):
                 state, _ = jax.lax.scan(body, state, None, length=n_steps - 1)
             state, metrics = train_step(state, batch, sc)
         return state, metrics
+
+    return run_chunk
+
+
+def make_sharded_chunk_runner(train_step, mesh, state_template, batch_template,
+                              matmul_precision: str = "highest",
+                              data_axis: str = "data"):
+    """shard_map version of the chunk runner: point batches and the vis_t
+    carry arrive pre-sharded on the data axis, params/optimizer state are
+    replicated, and the step's psums (loss components + gradients) ride ICI.
+
+    Required when the residual engine is a Pallas kernel (XLA cannot
+    auto-partition a custom call); gives identical math to the jit path.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    batch_spec = jax.tree.map(
+        lambda a: P(data_axis, None) if getattr(a, "ndim", 0) == 2 else P(),
+        batch_template)
+    state_spec = jax.tree.map(lambda a: P(), state_template)
+    if state_template.vis_t_minus is not None:
+        state_spec = state_spec._replace(vis_t_minus=P(data_axis, None))
+    sc_spec = StageScalars(P(), P(), P(), P())
+    metrics_spec = StepMetrics(*([P()] * len(StepMetrics._fields)))
+
+    cache = {}
+
+    def run_chunk(state: TrainState, batch: Batch, sc: StageScalars, n_steps: int):
+        if n_steps not in cache:
+            def body_fn(state, batch, sc):
+                with jax.default_matmul_precision(matmul_precision):
+                    def body(carry, _):
+                        new_carry, _m = train_step(carry, batch, sc)
+                        return new_carry, None
+
+                    if n_steps > 1:
+                        state, _ = jax.lax.scan(body, state, None, length=n_steps - 1)
+                    state, metrics = train_step(state, batch, sc)
+                return state, metrics
+
+            # check_vma=False: pallas_call outputs don't carry vma metadata
+            sharded = jax.shard_map(
+                body_fn, mesh=mesh,
+                in_specs=(state_spec, batch_spec, sc_spec),
+                out_specs=(state_spec, metrics_spec),
+                check_vma=False)
+            cache[n_steps] = jax.jit(sharded, donate_argnums=(0,))
+        return cache[n_steps](state, batch, sc)
 
     return run_chunk

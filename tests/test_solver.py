@@ -210,3 +210,27 @@ def test_staged_re_and_bc_weight_override():
     assert solver.current_re == 50.0 and solver.current_alpha_b == 5.0
     solver.train(num_epoch=5, lr=1e-3, Re=200.0, bc_weight=20.0)
     assert np.isfinite(_loss_of(solver))
+
+
+def test_pallas_engine_sharded_matches_xla():
+    """Pallas engine under shard_map (8 devices) == XLA engine under jit:
+    same data, same seed, same result after a few steps."""
+    results = {}
+    for engine in ("xla", "pallas"):
+        solver = _make_solver(engine=engine, hidden_size=16, layers=2,
+                              mesh=create_mesh(8))
+        _attach_data(solver, n_f=128)
+        solver.train(num_epoch=3, lr=1e-3)
+        leaves = jax.tree.leaves(solver.state.params)
+        results[engine] = np.concatenate([np.asarray(l).ravel() for l in leaves])
+    np.testing.assert_allclose(results["pallas"], results["xla"],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_engine_single_device():
+    solver = _make_solver(engine="pallas", hidden_size=16, layers=2,
+                          mesh=create_mesh(1))
+    _attach_data(solver, n_f=128)
+    before = _loss_of(solver)
+    solver.train(num_epoch=10, lr=1e-3)
+    assert _loss_of(solver) < before
