@@ -58,11 +58,14 @@ class CavityData:
     sdf_decay: float = 5.0
     coord_transform: bool = False
     seed: Optional[int] = None
+    use_native: bool = True  # use native/libpointgen.so when built
 
     def __post_init__(self):
         self.x_min, self.x_max = 0.0, 1.0
         self.y_min, self.y_max = 0.0, 1.0
         self._rng = np.random.default_rng(self.seed)
+        self._native_seed = (self.seed if self.seed is not None
+                             else int(self._rng.integers(2**63)))
         self.pts_bc: Optional[np.ndarray] = None
         self.sdf_weights: Optional[np.ndarray] = None
 
@@ -102,19 +105,26 @@ class CavityData:
         coordinate frame), like the reference."""
         if self.pts_bc is None:
             raise RuntimeError("load boundary data first (fixes the coordinate frame)")
-        xye = latin_hypercube(
-            self.N_f,
-            [[self.x_min, self.x_max], [self.y_min, self.y_max]]
-            if not self.coord_transform
-            else [[0.0, 1.0], [0.0, 1.0]],
-            rng=self._rng,
-        )
+        from nsfnet_tpu.data import native
+
+        go_native = self.use_native and native.available()
+        bounds = ([[self.x_min, self.x_max], [self.y_min, self.y_max]]
+                  if not self.coord_transform else [[0.0, 1.0], [0.0, 1.0]])
+        if go_native:
+            xye = native.lh_sample(self.N_f, bounds, self._native_seed)
+        else:
+            xye = latin_hypercube(self.N_f, bounds, rng=self._rng)
         if self.coord_transform:
             xye = self._to_centered(xye)
         if self.sort_training_points:
-            xye = sort_by_boundary_distance(xye, self.pts_bc)
+            srt = native.sort_by_distance(xye, self.pts_bc) if go_native else None
+            xye = srt if srt is not None else sort_by_boundary_distance(xye, self.pts_bc)
         if self.sdf_enabled:
-            self.sdf_weights = self._compute_sdf_weights(xye)
+            w = (native.sdf_weights(xye, self.x_min, self.x_max,
+                                    float(np.clip(self.sdf_min_weight, 1e-6, 1.0)),
+                                    max(0.0, float(self.sdf_decay)))
+                 if go_native else None)
+            self.sdf_weights = w if w is not None else self._compute_sdf_weights(xye)
         else:
             self.sdf_weights = None
         col = lambda a: a.reshape(-1, 1).astype(np.float32)

@@ -47,28 +47,41 @@ from nsfnet_tpu.models.mlp import Params
 
 TILE = 512       # forward tile; also the padding granule
 BWD_TILE = 256   # backward holds all per-layer carries in VMEM -> smaller tile
-_PREC = jax.lax.Precision.HIGHEST
+
+# MXU precision for the kernel matmuls. The kernel is compute-bound (VMEM
+# resident), so passes matter: highest = 6-pass exact fp32, high = 3-pass
+# (~1e-6 rel err), default = 1-pass bf16. Selected per-engine instance via
+# make_fused_mlp_derivatives(precision).
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+_PREC = jax.lax.Precision.HIGHEST  # module default (exact)
 
 
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _dot(a, b):
+def _dot(a, b, prec=None):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               precision=_PREC, preferred_element_type=jnp.float32)
+                               precision=prec or _PREC,
+                               preferred_element_type=jnp.float32)
 
 
-def _dot_tn(a, b):
+def _dot_tn(a, b, prec=None):
     """a^T @ b for [T,M]x[T,N] -> [M,N]."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               precision=_PREC, preferred_element_type=jnp.float32)
+                               precision=prec or _PREC,
+                               preferred_element_type=jnp.float32)
 
 
-def _dot_nt(a, b):
+def _dot_nt(a, b, prec=None):
     """a @ b^T for [T,N]x[M,N] -> [T,M]."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               precision=_PREC, preferred_element_type=jnp.float32)
+                               precision=prec or _PREC,
+                               preferred_element_type=jnp.float32)
 
 
 def _first_layer_packed(x, w0, b0, t_dim):
@@ -84,10 +97,10 @@ def _first_layer_packed(x, w0, b0, t_dim):
     return packed, t, s, c
 
 
-def _layer_packed(p_in, w, b, t_dim):
+def _layer_packed(p_in, w, b, t_dim, prec=None):
     """One hidden transition on packed carries. Returns (p_out, t, ztan)
     where ztan is the packed tangent part [4T, H] of the pre-activation."""
-    z_all = _dot(p_in, w)
+    z_all = _dot(p_in, w, prec)
     z = z_all[0:t_dim] + b
     zx = z_all[t_dim:2 * t_dim]
     zy = z_all[2 * t_dim:3 * t_dim]
@@ -103,17 +116,18 @@ def _layer_packed(p_in, w, b, t_dim):
 
 # --------------------------------------------------------------------- fwd
 
-def _fwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
+def _fwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
     w_refs = refs[: 2 * (n_hidden + 1)]
     o, ox, oy, oxx, oyy = refs[2 * (n_hidden + 1):]
 
     x = x_ref[:]
     p, _, _, _ = _first_layer_packed(x, w_refs[0][:], w_refs[1][:], t_dim)
     for l in range(1, n_hidden):
-        p, _, _ = _layer_packed(p, w_refs[2 * l][:], w_refs[2 * l + 1][:], t_dim)
+        p, _, _ = _layer_packed(p, w_refs[2 * l][:], w_refs[2 * l + 1][:], t_dim,
+                                prec)
 
     wh, bh = w_refs[-2][:], w_refs[-1][:]
-    out_all = _dot(p, wh)  # [5T, K]
+    out_all = _dot(p, wh, prec)  # [5T, K]
     o[:] = out_all[0:t_dim] + bh
     ox[:] = out_all[t_dim:2 * t_dim]
     oy[:] = out_all[2 * t_dim:3 * t_dim]
@@ -138,7 +152,7 @@ def _weight_specs(params: Params):
     return specs
 
 
-def _fwd_pallas(params: Params, x: jax.Array):
+def _fwd_pallas(params: Params, x: jax.Array, precision: str = "highest"):
     n_hidden = len(params) - 1
     n, _ = x.shape
     k = params[-1][0].shape[1]
@@ -149,7 +163,7 @@ def _fwd_pallas(params: Params, x: jax.Array):
     out_shape = jax.ShapeDtypeStruct((n, k), jnp.float32)
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_hidden, TILE),
+        functools.partial(_fwd_kernel, n_hidden, TILE, _PRECISIONS[precision]),
         grid=grid,
         in_specs=[pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + _weight_specs(params),
@@ -161,7 +175,7 @@ def _fwd_pallas(params: Params, x: jax.Array):
 
 # --------------------------------------------------------------------- bwd
 
-def _bwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
+def _bwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
     """Recompute packed forward carries in VMEM, then one reverse sweep with
     packed cotangents; dW/db accumulate into revisited output blocks
     (constant index map, sequential grid)."""
@@ -188,7 +202,7 @@ def _bwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
     ztans = [None]        # packed pre-activation tangents [4T,H], l>=1
     for l in range(1, n_hidden):
         p, t, ztan = _layer_packed(packs[-1], w_refs[2 * l][:],
-                                   w_refs[2 * l + 1][:], t_dim)
+                                   w_refs[2 * l + 1][:], t_dim, prec)
         packs.append(p)
         ts.append(t)
         ztans.append(ztan)
@@ -196,9 +210,9 @@ def _bwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
     # ---- head backward (packed)
     wh = w_refs[-2][:]
     g_head = jnp.concatenate([r[:] for r in g_refs], axis=0)  # [5T, K]
-    d_refs[-2][:] += _dot_tn(packs[-1], g_head)
+    d_refs[-2][:] += _dot_tn(packs[-1], g_head, prec)
     d_refs[-1][:] += jnp.sum(g_refs[0][:], axis=0, keepdims=True)
-    gp = _dot_nt(g_head, wh)  # packed carry cotangents [5T, H]
+    gp = _dot_nt(g_head, wh, prec)  # packed carry cotangents [5T, H]
 
     # ---- hidden transitions, reverse
     for l in range(n_hidden - 1, 0, -1):
@@ -227,9 +241,9 @@ def _bwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
              ghxx * s,
              ghyy * s], axis=0)  # [5T, H]
 
-        d_refs[2 * l][:] += _dot_tn(packs[l - 1], g_zpack)
+        d_refs[2 * l][:] += _dot_tn(packs[l - 1], g_zpack, prec)
         d_refs[2 * l + 1][:] += jnp.sum(g_z, axis=0, keepdims=True)
-        gp = _dot_nt(g_zpack, w_refs[2 * l][:])
+        gp = _dot_nt(g_zpack, w_refs[2 * l][:], prec)
 
     # ---- first layer (analytic tangents)
     gh = gp[0:t_dim]
@@ -248,7 +262,8 @@ def _bwd_kernel(n_hidden: int, t_dim: int, x_ref, *refs):
     d_refs[1][:] += jnp.sum(g_z0, axis=0, keepdims=True)
 
 
-def _bwd_pallas(params: Params, x: jax.Array, cotangents):
+def _bwd_pallas(params: Params, x: jax.Array, cotangents,
+                precision: str = "highest"):
     n_hidden = len(params) - 1
     n, _ = x.shape
     k = params[-1][0].shape[1]
@@ -266,7 +281,7 @@ def _bwd_pallas(params: Params, x: jax.Array, cotangents):
     g_spec = pl.BlockSpec((BWD_TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     flat = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_hidden, BWD_TILE),
+        functools.partial(_bwd_kernel, n_hidden, BWD_TILE, _PRECISIONS[precision]),
         grid=grid,
         in_specs=[pl.BlockSpec((BWD_TILE, 2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
@@ -284,28 +299,34 @@ def _bwd_pallas(params: Params, x: jax.Array, cotangents):
 
 # ------------------------------------------------------------------ public
 
-@jax.custom_vjp
-def fused_mlp_derivatives(params: Params, x: jax.Array):
-    """Pallas-fused equivalent of ops.derivatives.mlp_derivatives_2d.
+@functools.lru_cache(maxsize=None)
+def make_fused_mlp_derivatives(precision: str = "highest"):
+    """Build the Pallas engine at a given MXU precision.
 
-    Returns (out, d/dx, d/dy, d2/dx2, d2/dy2), each [N, K]. Differentiable
-    wrt params only (x receives zero cotangent — collocation points are
-    optimization constants). Batch N must be a multiple of TILE (512); the
-    solver pads batches accordingly.
+    Returns fn(params, x) -> (out, d/dx, d/dy, d2/dx2, d2/dy2), each [N,K].
+    Differentiable wrt params only (x receives zero cotangent — collocation
+    points are optimization constants). Batch N must be a multiple of TILE
+    (512); the solver pads batches accordingly.
     """
-    return _fwd_pallas(params, x)
+    assert precision in _PRECISIONS, precision
+
+    @jax.custom_vjp
+    def fused(params: Params, x: jax.Array):
+        return _fwd_pallas(params, x, precision)
+
+    def _vjp_fwd(params, x):
+        return _fwd_pallas(params, x, precision), (params, x)
+
+    def _vjp_bwd(res, cts):
+        params, x = res
+        return _bwd_pallas(params, x, cts, precision), jnp.zeros_like(x)
+
+    fused.defvjp(_vjp_fwd, _vjp_bwd)
+    return fused
 
 
-def _vjp_fwd(params, x):
-    return _fwd_pallas(params, x), (params, x)
-
-
-def _vjp_bwd(res, cts):
-    params, x = res
-    return _bwd_pallas(params, x, cts), jnp.zeros_like(x)
-
-
-fused_mlp_derivatives.defvjp(_vjp_fwd, _vjp_bwd)
+# exact-precision default instance
+fused_mlp_derivatives = make_fused_mlp_derivatives("highest")
 
 
 def pad_for_pallas(n: int) -> int:

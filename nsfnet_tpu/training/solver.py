@@ -306,9 +306,9 @@ class PINNSolver:
             apply = self.net.apply
             return lambda params, x: derivatives_2d(lambda z: apply(params, z), x)
         if kind == "pallas":
-            from nsfnet_tpu.ops.pallas_mlp import fused_mlp_derivatives
+            from nsfnet_tpu.ops.pallas_mlp import make_fused_mlp_derivatives
 
-            return fused_mlp_derivatives
+            return make_fused_mlp_derivatives(self.matmul_precision)
         return mlp_derivatives_2d
 
     def _make_loss(self, engine_kind: str, axis_name: Optional[str]):
