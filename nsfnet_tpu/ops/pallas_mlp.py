@@ -52,9 +52,14 @@ BWD_TILE = 256   # backward holds all per-layer carries in VMEM -> smaller tile
 # resident), so passes matter: highest = 6-pass exact fp32, high = 3-pass
 # (~1e-6 rel err), default = 1-pass bf16. Selected per-engine instance via
 # make_fused_mlp_derivatives(precision).
+# Mosaic supports only HIGHEST (6-pass exact fp32) and DEFAULT (1-pass
+# bf16) dot precisions in-kernel; "high" (3-pass, ~1e-6 rel err — the sweet
+# spot for PINN gradients) is emulated by hand: split each operand into a
+# bf16 hi part and a bf16 lo remainder, keep the three significant products
+# hi*hi + hi*lo + lo*hi (the classic bf16x3 decomposition).
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
+    "high": "bf16x3",
     "default": jax.lax.Precision.DEFAULT,
 }
 _PREC = jax.lax.Precision.HIGHEST  # module default (exact)
@@ -64,24 +69,30 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _dot(a, b, prec=None):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               precision=prec or _PREC,
-                               preferred_element_type=jnp.float32)
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
-def _dot_tn(a, b, prec=None):
-    """a^T @ b for [T,M]x[T,N] -> [M,N]."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               precision=prec or _PREC,
-                               preferred_element_type=jnp.float32)
+def _general(dims):
+    def dot(a, b, prec=None):
+        prec = prec if prec is not None else _PREC
+        if prec == "bf16x3":
+            a_hi, a_lo = _bf16_split(a)
+            b_hi, b_lo = _bf16_split(b)
+            d = lambda x, y: jax.lax.dot_general(
+                x, y, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+        return jax.lax.dot_general(a, b, dims, precision=prec,
+                                   preferred_element_type=jnp.float32)
+    return dot
 
 
-def _dot_nt(a, b, prec=None):
-    """a @ b^T for [T,N]x[M,N] -> [T,M]."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               precision=prec or _PREC,
-                               preferred_element_type=jnp.float32)
+_dot = _general((((1,), (0,)), ((), ())))       # a @ b
+_dot_tn = _general((((0,), (0,)), ((), ())))    # a^T @ b
+_dot_nt = _general((((1,), (1,)), ((), ())))    # a @ b^T
 
 
 def _first_layer_packed(x, w0, b0, t_dim):

@@ -30,6 +30,9 @@ def parse_args():
                    help="print config & stages then exit (ev-NSFnet/train.py:18)")
     p.add_argument("--resume", type=str, default=None,
                    help="path to a full-state checkpoint to resume from")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture an XLA profiler trace of the first stage "
+                        "into this directory (TensorBoard profile plugin)")
     return p.parse_args()
 
 
@@ -137,11 +140,17 @@ def main(argv=None):
     stages = cfg.training.training_stages
     total = sum(st.epochs for st in stages)
     logger.info(f"training: total epochs={total:,} over {len(stages)} stages")
-    for st in stages:
+    for i, st in enumerate(stages):
         logger.stage(st.name, st.alpha, st.epochs, st.lr)
         solver.current_stage = st.name
         solver.set_alpha_evm(st.alpha)
-        solver.train(num_epoch=st.epochs, lr=st.lr, optimizer=st.optimizer)
+        if i == 0 and args.profile:
+            from nsfnet_tpu.utils.profiling import xla_trace
+
+            with xla_trace(args.profile):
+                solver.train(num_epoch=st.epochs, lr=st.lr, optimizer=st.optimizer)
+        else:
+            solver.train(num_epoch=st.epochs, lr=st.lr, optimizer=st.optimizer)
         if eval_fields:
             solver.evaluate(*eval_fields)
     logger.header("Training Completed")

@@ -454,6 +454,18 @@ class PINNSolver:
         x, y = X
         return self.neural_net_u(x, y)
 
+    def divergence(self, x, y):
+        """Continuity residual u_x + v_y at host points. (The reference's
+        divergence() is broken dead code — NSFnet/pinn_solver.py:382-389;
+        this is the working equivalent.)"""
+        from nsfnet_tpu.ops.residuals import ns_residuals
+
+        pts = jnp.concatenate([jnp.asarray(x, jnp.float32).reshape(-1, 1),
+                               jnp.asarray(y, jnp.float32).reshape(-1, 1)], axis=1)
+        engine = self._engine("xla")
+        derivs = engine(self.state.params, pts)
+        return ns_residuals(derivs, self.current_re, self.coord_scale).eq3
+
     def evaluate(self, x, y, u, v, p):
         """Relative L2 % errors vs DNS (parity: ev-NSFnet/pinn_solver.py:669-693)."""
         u_pred, v_pred, p_pred, _ = self.neural_net_u(x, y)
@@ -566,9 +578,18 @@ class PINNSolver:
         self.logger.info(
             f"  time: stage={stage_elapsed:.1f}s total={total_elapsed:.1f}s "
             f"it/s={avg_it_s:.2f} (interval {interval_it_s:.2f}) eta={eta:.0f}s")
+        mem_line = ""
+        try:  # device memory (parity with torch.cuda.memory_allocated logging)
+            stats = self.mesh.devices.flat[0].memory_stats()
+            if stats:
+                used = stats.get("bytes_in_use", 0) / 1024**2
+                limit = stats.get("bytes_limit", 0) / 1024**2
+                mem_line = f" mem={used:.0f}/{limit:.0f}MB"
+        except Exception:
+            pass
         self.logger.info(
             f"  perf: throughput={throughput:,.0f} pts/s lr={lr:.2e} "
-            f"Re_eff={re_eff:.1f} alpha_evm={self.alpha_evm}")
+            f"Re_eff={re_eff:.1f} alpha_evm={self.alpha_evm}{mem_line}")
         if self.tb_writer is not None:
             w, s = self.tb_writer, self.global_step
             w.add_scalar("loss/total", float(m.total), s)

@@ -234,3 +234,24 @@ def test_pallas_engine_single_device():
     before = _loss_of(solver)
     solver.train(num_epoch=10, lr=1e-3)
     assert _loss_of(solver) < before
+
+
+def test_divergence_fn():
+    """Working divergence() (the reference's is broken dead code,
+    NSFnet/pinn_solver.py:382-389)."""
+    solver = _make_solver()
+    _attach_data(solver)
+    pts = np.random.default_rng(0).uniform(0.1, 0.9, (64, 1))
+    div = solver.divergence(pts, pts[::-1])
+    assert div.shape == (64, 1)
+    assert np.all(np.isfinite(np.asarray(div)))
+
+
+def test_visualization_outputs(tmp_path):
+    from nsfnet_tpu.utils.visualization import field_heatmaps, streamplot_cavity
+
+    solver = _make_solver()
+    _attach_data(solver)
+    p1 = streamplot_cavity(solver, n=20, out_path=str(tmp_path / "cavity.png"))
+    p2 = field_heatmaps(solver, n=20, out_path=str(tmp_path / "fields.png"))
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
