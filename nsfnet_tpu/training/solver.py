@@ -312,10 +312,17 @@ class PINNSolver:
         return mlp_derivatives_2d
 
     def _make_loss(self, engine_kind: str, axis_name: Optional[str]):
+        apply_evm = self.net_1.apply if self.evm else None
+        if self.evm and engine_kind == "pallas":
+            # EVM value forward+backward through the fused kernel too — the
+            # XLA path materializes its [N,40] activations through HBM
+            from nsfnet_tpu.ops.pallas_mlp_fwd import make_fused_mlp_forward
+
+            apply_evm = make_fused_mlp_forward(self.matmul_precision)
         return make_loss_fn(
             engine=self._engine(engine_kind),
             apply_main=self.net.apply,
-            apply_evm=self.net_1.apply if self.evm else None,
+            apply_evm=apply_evm,
             coord_scale=self.coord_scale,
             alpha_e=self.alpha_e,
             alpha_s=self.alpha_s,
