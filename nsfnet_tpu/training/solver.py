@@ -88,7 +88,11 @@ class PINNSolver:
         evm_update_freq: int = 10000,
         log_interval: int = 1000,
         engine: str = "auto",  # auto | pallas | xla — residual-engine backend
+        fuse_evm: bool = False,  # route the EVM net through the fused value
+        # kernel; measured slightly slower than XLA's own fusion for the
+        # tiny 4x40 net (kernel dispatch overhead), so off by default
     ):
+        self.fuse_evm = fuse_evm
         self.Re = float(Re)
         self.vis_t0 = 20.0 / self.Re  # ev-NSFnet/pinn_solver.py:67
         self.N_f = N_f
@@ -313,7 +317,7 @@ class PINNSolver:
 
     def _make_loss(self, engine_kind: str, axis_name: Optional[str]):
         apply_evm = self.net_1.apply if self.evm else None
-        if self.evm and engine_kind == "pallas":
+        if self.evm and engine_kind == "pallas" and self.fuse_evm:
             # EVM value forward+backward through the fused kernel too — the
             # XLA path materializes its [N,40] activations through HBM
             from nsfnet_tpu.ops.pallas_mlp_fwd import make_fused_mlp_forward
