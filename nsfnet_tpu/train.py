@@ -79,6 +79,12 @@ def main(argv=None):
     initialize_distributed()
     import jax
 
+    # persistent compile cache (first compile of the train step is slow)
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.getcwd(), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     rank = jax.process_index()
     logger = get_logger(cfg.experiment_name, rank=rank)
     if rank == 0:

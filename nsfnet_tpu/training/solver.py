@@ -91,8 +91,12 @@ class PINNSolver:
         fuse_evm: bool = False,  # route the EVM net through the fused value
         # kernel; measured slightly slower than XLA's own fusion for the
         # tiny 4x40 net (kernel dispatch overhead), so off by default
+        max_chunk: int = 2000,  # max steps per device dispatch: keeps one
+        # scan under typical runtime watchdogs (a 10k-step dispatch was
+        # observed to kill the TPU worker) while still amortizing dispatch
     ):
         self.fuse_evm = fuse_evm
+        self.max_chunk = max_chunk
         self.Re = float(Re)
         self.vis_t0 = 20.0 / self.Re  # ev-NSFnet/pinn_solver.py:67
         self.N_f = N_f
@@ -404,7 +408,7 @@ class PINNSolver:
                     ((done // self.log_interval) + 1) * self.log_interval,
                     ((done // self.checkpoint_freq) + 1) * self.checkpoint_freq,
                     num_epoch)
-                n = nxt - done
+                n = min(nxt - done, self.max_chunk)
             self.state, metrics = self._runner(
                 self.state, self._batch, sc, n_steps=n)
             done += n
