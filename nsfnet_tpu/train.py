@@ -62,6 +62,7 @@ def build_solver(cfg, mesh=None) -> PINNSolver:
         matmul_precision=cfg.training.matmul_precision,
         evm_update_freq=cfg.training.evm_update_freq,
         log_interval=cfg.training.log_interval,
+        microbatches=cfg.training.microbatches,
         checkpoint_freq=cfg.training.checkpoint_freq,
         checkpoint_path=cfg.training.checkpoint_dir,
     )

@@ -94,9 +94,12 @@ class PINNSolver:
         max_chunk: int = 2000,  # max steps per device dispatch: keeps one
         # scan under typical runtime watchdogs (a 10k-step dispatch was
         # observed to kill the TPU worker) while still amortizing dispatch
+        microbatches: int = 1,  # gradient-accumulation microbatches over the
+        # collocation batch (lets N_f exceed per-chip HBM; SURVEY §5.7)
     ):
         self.fuse_evm = fuse_evm
         self.max_chunk = max_chunk
+        self.microbatches = max(1, int(microbatches))
         self.Re = float(Re)
         self.vis_t0 = 20.0 / self.Re  # ev-NSFnet/pinn_solver.py:67
         self.N_f = N_f
@@ -259,7 +262,8 @@ class PINNSolver:
             from nsfnet_tpu.ops.pallas_mlp import TILE
 
             eq_lane = TILE
-        nf_pad = pmesh.padded_size(n_f, msize, lane=eq_lane)
+        # each per-device, per-microbatch slice must stay lane-aligned
+        nf_pad = pmesh.padded_size(n_f, msize, lane=eq_lane * self.microbatches)
         w = self._eq_weights if self._eq_weights is not None else np.ones((n_f, 1), np.float32)
         eq_w = pmesh.pad_rows(w, nf_pad, 0.0)
 
@@ -352,10 +356,18 @@ class PINNSolver:
         # diagnostics/L-BFGS loss: XLA engine, no collectives — valid under
         # plain jit on any mesh (math identical to the pallas engine, tested)
         self._loss_fn = self._make_loss("xla", None)
-        train_step = make_train_step(
-            loss_fn, self.tx_main, self.tx_evm,
-            evm_update_freq=self.evm_update_freq, evm=self.evm,
-            axis_name=axis_name)
+        if self.microbatches > 1:
+            from nsfnet_tpu.training.step import make_microbatched_train_step
+
+            train_step = make_microbatched_train_step(
+                loss_fn, self.tx_main, self.tx_evm, self.microbatches,
+                evm_update_freq=self.evm_update_freq, evm=self.evm,
+                axis_name=axis_name)
+        else:
+            train_step = make_train_step(
+                loss_fn, self.tx_main, self.tx_evm,
+                evm_update_freq=self.evm_update_freq, evm=self.evm,
+                axis_name=axis_name)
         if sharded:
             self._runner = make_sharded_chunk_runner(
                 train_step, self.mesh, self.state, self._batch,

@@ -70,11 +70,14 @@ def make_loss_fn(
     global means (the collective-light version of the reference's per-rank
     loss all_reduce, ev-NSFnet/pinn_solver.py:413-424)."""
 
-    def loss_fn(params_all, batch: Batch, vis_t_minus, sc: StageScalars):
+    def eq_loss_fn(params_all, x_f, y_f, eq_w, n_f, vis_t_minus, sc: StageScalars):
+        """Equation-residual part of the loss on a (micro)batch of
+        collocation points. Component values are partial-sum/global-count,
+        so microbatch contributions ADD to the full-batch values."""
         params, params_evm = params_all
         re = sc.re
         vis_t0 = 20.0 / re  # ev-NSFnet/pinn_solver.py:67
-        x_eq = jnp.concatenate([batch.x_f, batch.y_f], axis=1)
+        x_eq = jnp.concatenate([x_f, y_f], axis=1)
 
         derivs = engine(params, x_eq)
         if evm:
@@ -82,15 +85,19 @@ def make_loss_fn(
             vis_t = R.next_vis_t(vis_t_minus, vis_t0)
             res = R.ev_ns_residuals(derivs, e, vis_t, re, coord_scale)
             new_vis_t_minus = R.update_vis_t_minus(e, sc.alpha_evm)
-            vis_t_mean = jnp.sum(vis_t * batch.eq_w) / batch.n_f
+            vis_t_mean = jnp.sum(vis_t * eq_w) / n_f
         else:
             res = R.ns_residuals(derivs, re, coord_scale)
             new_vis_t_minus = vis_t_minus
             vis_t_mean = jnp.zeros(())
 
-        loss_e, (l1, l2, l3, l4) = L.equation_loss(
-            res, batch.eq_w, batch.n_f, entropy_weight)
+        loss_e, (l1, l2, l3, l4) = L.equation_loss(res, eq_w, n_f, entropy_weight)
+        return alpha_e * loss_e, (l1, l2, l3, l4, vis_t_mean, new_vis_t_minus)
 
+    def aux_loss_fn(params_all, batch: Batch, sc: StageScalars):
+        """Boundary + supervised part, weighted. Returns the weighted value
+        plus the raw components."""
+        params, _ = params_all
         x_bc = jnp.concatenate([batch.x_b, batch.y_b], axis=1)
         uvp_b = apply_main(params, x_bc)
         loss_b = L.boundary_loss(uvp_b[:, 0:1], uvp_b[:, 1:2],
@@ -105,18 +112,30 @@ def make_loss_fn(
                 batch.s_mask, batch.n_s, batch.p_mask, batch.n_p)
         else:
             loss_s = jnp.zeros(())
+        return sc.alpha_b * loss_b + alpha_s * loss_s, (loss_b, loss_s)
 
+    def assemble(loss_b, l1, l2, l3, l4, loss_s, vis_t_mean, sc):
+        """psum (if sharded) + totals + metrics, from raw components."""
         if axis_name is not None:
             # one collective for all components (each is local-sum/global-count)
             stacked = jax.lax.psum(
                 jnp.stack([loss_b, l1, l2, l3, l4, loss_s, vis_t_mean]), axis_name)
             loss_b, l1, l2, l3, l4, loss_s, vis_t_mean = stacked
-            loss_e = l1 + l2 + l3 + (entropy_weight * l4 if evm else 0.0)
-
+        loss_e = l1 + l2 + l3 + (entropy_weight * l4 if evm else 0.0)
         total = sc.alpha_b * loss_b + alpha_e * loss_e + alpha_s * loss_s
-        metrics = StepMetrics(total, loss_b, loss_e, loss_s, l1, l2, l3, l4, vis_t_mean)
-        return total, (metrics, new_vis_t_minus)
+        return StepMetrics(total, loss_b, loss_e, loss_s, l1, l2, l3, l4, vis_t_mean)
 
+    def loss_fn(params_all, batch: Batch, vis_t_minus, sc: StageScalars):
+        _, (l1, l2, l3, l4, vis_t_mean, new_vis_t_minus) = eq_loss_fn(
+            params_all, batch.x_f, batch.y_f, batch.eq_w, batch.n_f,
+            vis_t_minus, sc)
+        _, (loss_b, loss_s) = aux_loss_fn(params_all, batch, sc)
+        metrics = assemble(loss_b, l1, l2, l3, l4, loss_s, vis_t_mean, sc)
+        return metrics.total, (metrics, new_vis_t_minus)
+
+    loss_fn.eq_loss_fn = eq_loss_fn
+    loss_fn.aux_loss_fn = aux_loss_fn
+    loss_fn.assemble = assemble
     return loss_fn
 
 
@@ -179,6 +198,104 @@ def make_train_step(
             epoch_in_stage=state.epoch_in_stage + 1,
         )
         return new_state, metrics
+
+    return train_step
+
+
+def make_microbatched_train_step(
+    loss_fn,
+    tx_main: optax.GradientTransformation,
+    tx_evm: Optional[optax.GradientTransformation],
+    n_micro: int,
+    evm_update_freq: int = 10000,
+    evm: bool = True,
+    axis_name: Optional[str] = None,
+):
+    """Gradient-accumulation variant: the collocation batch is processed in
+    `n_micro` sequential microbatches inside a lax.scan, so N_f can exceed
+    what one residual-engine activation footprint allows in HBM (the
+    scaling axis the reference leaves unimplemented —
+    ev-NSFnet/README.md roadmap; SURVEY §5.7).
+
+    Loss components are partial-sum/global-count, so microbatch gradients
+    and component sums ADD exactly to the full-batch values; the optimizer
+    update is mathematically identical to the non-microbatched step.
+    """
+    eq_fn = loss_fn.eq_loss_fn
+    aux_fn = loss_fn.aux_loss_fn
+    assemble = loss_fn.assemble
+
+    def train_step(state: TrainState, batch: Batch, sc: StageScalars):
+        params_all = (state.params, state.params_evm)
+
+        def mb(a):
+            return a.reshape(n_micro, -1, a.shape[-1]) if a is not None else None
+
+        xs = (mb(batch.x_f), mb(batch.y_f), mb(batch.eq_w),
+              mb(state.vis_t_minus) if state.vis_t_minus is not None else None)
+
+        def eq_value(p_all, x_f, y_f, w, vtm):
+            val, aux = eq_fn(p_all, x_f, y_f, w, batch.n_f, vtm, sc)
+            return val, aux
+
+        zero_g = jax.tree.map(jnp.zeros_like, params_all)
+
+        def body(carry, mbatch):
+            g_acc, comp_acc = carry
+            x_f, y_f, w, vtm = mbatch
+            (_, (l1, l2, l3, l4, vmean, nvtm)), g = jax.value_and_grad(
+                eq_value, has_aux=True)(params_all, x_f, y_f, w, vtm)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            comp_acc = comp_acc + jnp.stack([l1, l2, l3, l4, vmean])
+            return (g_acc, comp_acc), nvtm
+
+        (g_eq, comps), nvtm_stack = jax.lax.scan(
+            body, (zero_g, jnp.zeros(5)), xs)
+        l1, l2, l3, l4, vis_t_mean = comps
+        new_vtm = (nvtm_stack.reshape(-1, nvtm_stack.shape[-1])
+                   if state.vis_t_minus is not None else None)
+
+        (_, (loss_b, loss_s)), g_aux = jax.value_and_grad(
+            aux_fn, has_aux=True)(params_all, batch, sc)
+        grads = jax.tree.map(jnp.add, g_eq, g_aux)
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+        metrics = assemble(loss_b, l1, l2, l3, l4, loss_s, vis_t_mean, sc)
+
+        g_main, g_evm = grads
+        lr = sc.lr
+        upd, new_opt_main = tx_main.update(g_main, state.opt_main, state.params)
+        new_params = jax.tree.map(lambda p, u: p - lr * u, state.params, upd)
+
+        if evm:
+            do_evm = jnp.logical_and(
+                state.epoch_in_stage % evm_update_freq == 0,
+                state.epoch_in_stage > 0)
+
+            def evm_apply_update(args):
+                p, o, g = args
+                u, o2 = tx_evm.update(g, o, p)
+                return jax.tree.map(lambda pp, uu: pp - lr * uu, p, u), o2
+
+            def evm_keep(args):
+                p, o, _ = args
+                return p, o
+
+            new_params_evm, new_opt_evm = jax.lax.cond(
+                do_evm, evm_apply_update, evm_keep,
+                (state.params_evm, state.opt_evm, g_evm))
+        else:
+            new_params_evm, new_opt_evm = state.params_evm, state.opt_evm
+
+        return TrainState(
+            params=new_params,
+            params_evm=new_params_evm,
+            opt_main=new_opt_main,
+            opt_evm=new_opt_evm,
+            vis_t_minus=new_vtm,
+            step=state.step + 1,
+            epoch_in_stage=state.epoch_in_stage + 1,
+        ), metrics
 
     return train_step
 

@@ -255,3 +255,25 @@ def test_visualization_outputs(tmp_path):
     p1 = streamplot_cavity(solver, n=20, out_path=str(tmp_path / "cavity.png"))
     p2 = field_heatmaps(solver, n=20, out_path=str(tmp_path / "fields.png"))
     assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+def test_microbatched_step_matches_full_batch():
+    """Gradient accumulation over microbatches is mathematically identical
+    to the full-batch step (loss sums are partial-sum/global-count)."""
+    results = {}
+    for n_micro in (1, 4):
+        solver = _make_solver(microbatches=n_micro, hidden_size=16, layers=2)
+        _attach_data(solver, n_f=256)
+        solver.train(num_epoch=5, lr=1e-3)
+        leaves = jax.tree.leaves(solver.state.params)
+        results[n_micro] = np.concatenate([np.asarray(l).ravel() for l in leaves])
+    np.testing.assert_allclose(results[4], results[1], rtol=1e-5, atol=1e-7)
+
+
+def test_microbatched_with_pallas_and_mesh():
+    solver = _make_solver(microbatches=2, engine="pallas", hidden_size=16,
+                          layers=2, mesh=create_mesh(2))
+    _attach_data(solver, n_f=128)
+    before = _loss_of(solver)
+    solver.train(num_epoch=5, lr=1e-3)
+    assert _loss_of(solver) < before
