@@ -410,6 +410,8 @@ class PINNSolver:
 
         pts_per_step = int(self._batch.x_f.shape[0] + self._batch.x_b.shape[0])
         done = 0
+        last_ckpt: Optional[str] = None
+        crashes = 0
         while done < num_epoch:
             # chunk boundaries: first step alone (log+ckpt parity with the
             # reference's epoch 0), then to the next log/ckpt boundary.
@@ -421,8 +423,27 @@ class PINNSolver:
                     ((done // self.checkpoint_freq) + 1) * self.checkpoint_freq,
                     num_epoch)
                 n = min(nxt - done, self.max_chunk)
-            self.state, metrics = self._runner(
-                self.state, self._batch, sc, n_steps=n)
+            try:
+                self.state, metrics = self._runner(
+                    self.state, self._batch, sc, n_steps=n)
+            except jax.errors.JaxRuntimeError as e:
+                # Failure recovery (reference has none, SURVEY §5.3): a TPU
+                # worker crash/restart invalidates the (donated) state — roll
+                # back to the last full-state checkpoint and continue.
+                crashes += 1
+                if last_ckpt is None or crashes > 3:
+                    raise
+                if self.rank == 0:
+                    self.logger.error(
+                        f"device runtime error at stage-epoch {done} "
+                        f"({e}); resuming from {last_ckpt} "
+                        f"(crash {crashes}/3)")
+                self._runner = None
+                self._dirty = True
+                self._ensure_ready()
+                self.load(last_ckpt)
+                done = int(self.state.epoch_in_stage)
+                continue
             done += n
             self.global_step += n
 
@@ -437,7 +458,7 @@ class PINNSolver:
                 last_log_t, last_log_e = now, done
             if (done == 1 and num_epoch >= self.checkpoint_freq) \
                     or done % self.checkpoint_freq == 0:
-                self.save(f"model_cavity_loop{done}.ckpt")
+                last_ckpt = self.save(f"model_cavity_loop{done}.ckpt") or last_ckpt
         return self.state
 
     def train_lbfgs(self, num_steps: int):

@@ -277,3 +277,24 @@ def test_microbatched_with_pallas_and_mesh():
     before = _loss_of(solver)
     solver.train(num_epoch=5, lr=1e-3)
     assert _loss_of(solver) < before
+
+
+def test_crash_auto_resume(tmp_path):
+    """Device-runtime crash mid-stage rolls back to the last full-state
+    checkpoint and continues (failure recovery; the reference has none)."""
+    solver = _make_solver(checkpoint_freq=2, checkpoint_path=str(tmp_path))
+    _attach_data(solver)
+    solver._ensure_ready()
+    real_runner = solver._runner
+    calls = {"n": 0}
+
+    def flaky(state, batch, sc, n_steps):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise jax.errors.JaxRuntimeError("simulated TPU worker crash")
+        return real_runner(state, batch, sc, n_steps=n_steps)
+
+    solver._runner = flaky
+    solver.train(num_epoch=6, lr=1e-3)
+    assert int(solver.state.epoch_in_stage) == 6
+    assert calls["n"] == 4  # rebuilt runner replaced the flaky wrapper
