@@ -46,7 +46,21 @@ from jax.experimental.pallas import tpu as pltpu
 from nsfnet_tpu.models.mlp import Params
 
 TILE = 512       # forward tile; also the padding granule
-BWD_TILE = 256   # backward holds all per-layer carries in VMEM -> smaller tile
+
+
+def bwd_tile_for(n_hidden: int, hidden: int) -> int:
+    """Pick the largest backward tile (divisor of TILE) whose resident set —
+    packed carries [5T,H] per layer, packed tangents [4T,H], working
+    buffers — fits comfortably in VMEM (~12 MB budget of the 16 MB/core).
+    """
+    budget = 12 * 1024 * 1024
+    for t in (512, 256, 128, 64):
+        live = (n_hidden * 5 * t * hidden        # packs
+                + (n_hidden - 1) * 4 * t * hidden  # ztans
+                + 20 * t * hidden) * 4             # working set + cotangents
+        if live <= budget:
+            return t
+    return 32
 
 # MXU precision for the kernel matmuls. The kernel is compute-bound (VMEM
 # resident), so passes matter: highest = 6-pass exact fp32, high = 3-pass
@@ -278,8 +292,9 @@ def _bwd_pallas(params: Params, x: jax.Array, cotangents,
     n_hidden = len(params) - 1
     n, _ = x.shape
     k = params[-1][0].shape[1]
-    assert n % BWD_TILE == 0
-    grid = (n // BWD_TILE,)
+    bwd_tile = bwd_tile_for(n_hidden, params[0][0].shape[1])
+    assert n % bwd_tile == 0
+    grid = (n // bwd_tile,)
 
     d_specs, d_shapes = [], []
     for w, b in params:
@@ -289,12 +304,12 @@ def _bwd_pallas(params: Params, x: jax.Array, cotangents,
         d_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         d_shapes.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
 
-    g_spec = pl.BlockSpec((BWD_TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((bwd_tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     flat = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_hidden, BWD_TILE, _PRECISIONS[precision]),
+        functools.partial(_bwd_kernel, n_hidden, bwd_tile, _PRECISIONS[precision]),
         grid=grid,
-        in_specs=[pl.BlockSpec((BWD_TILE, 2), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((bwd_tile, 2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + _weight_specs(params) + [g_spec] * 5,
         out_specs=tuple(d_specs),

@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--profile", type=str, default=None,
                    help="capture an XLA profiler trace of the first stage "
                         "into this directory (TensorBoard profile plugin)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the Re=100 smoke config is "
+                        "CPU-runnable; env vars can't override the platform "
+                        "once the TPU plugin is registered)")
     return p.parse_args()
 
 
@@ -77,8 +81,12 @@ def main(argv=None):
         cm = ConfigManager()
     cfg = cm.config
 
-    initialize_distributed()
     import jax
+
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        initialize_distributed()
 
     # persistent compile cache (first compile of the train step is slow)
     if not jax.config.jax_compilation_cache_dir:

@@ -82,3 +82,21 @@ def test_pad_helper():
     assert pad_for_pallas(1) == TILE
     assert pad_for_pallas(TILE) == TILE
     assert pad_for_pallas(TILE + 1) == 2 * TILE
+
+
+def test_wide_network_grads():
+    """Dynamic backward tiling keeps wide nets within the VMEM budget."""
+    from nsfnet_tpu.ops.pallas_mlp import bwd_tile_for
+
+    assert bwd_tile_for(6, 80) == 512
+    assert bwd_tile_for(6, 256) <= 256
+    assert bwd_tile_for(8, 512) <= 64
+    params, x = _setup(n=TILE, sizes=(2, 256, 256, 3), seed=2)
+
+    def f(engine):
+        return lambda p: sum(jnp.mean(t**2) for t in engine(p, x))
+
+    g_ref = jax.grad(f(mlp_derivatives_2d))(params)
+    g_got = jax.grad(f(fused_mlp_derivatives))(params)
+    for (wr, _), (wg, _) in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(wg), np.asarray(wr), rtol=1e-3, atol=5e-6)
