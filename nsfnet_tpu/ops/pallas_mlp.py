@@ -53,11 +53,14 @@ def bwd_tile_for(n_hidden: int, hidden: int) -> int:
     packed carries [5T,H] per layer, packed tangents [4T,H], working
     buffers — fits comfortably in VMEM (~12 MB budget of the 16 MB/core).
     """
-    budget = 12 * 1024 * 1024
+    budget = 10 * 1024 * 1024  # of the 16 MB/core; leaves headroom for the
+    # compiler's double-buffered I/O and temporaries (T=512 with H=80 was
+    # measured to OOM at 21 MB scoped)
+    hidden_padded = -(-hidden // 128) * 128  # VMEM lane padding
     for t in (512, 256, 128, 64):
-        live = (n_hidden * 5 * t * hidden        # packs
-                + (n_hidden - 1) * 4 * t * hidden  # ztans
-                + 20 * t * hidden) * 4             # working set + cotangents
+        live = (n_hidden * 5 * t * hidden_padded          # packs
+                + (n_hidden - 1) * 4 * t * hidden_padded  # ztans
+                + 20 * t * hidden_padded) * 4             # working set
         if live <= budget:
             return t
     return 32

@@ -88,8 +88,8 @@ def test_wide_network_grads():
     """Dynamic backward tiling keeps wide nets within the VMEM budget."""
     from nsfnet_tpu.ops.pallas_mlp import bwd_tile_for
 
-    assert bwd_tile_for(6, 80) == 512
-    assert bwd_tile_for(6, 256) <= 256
+    assert bwd_tile_for(6, 80) == 256
+    assert bwd_tile_for(6, 256) <= 128
     assert bwd_tile_for(8, 512) <= 64
     params, x = _setup(n=TILE, sizes=(2, 256, 256, 3), seed=2)
 
