@@ -77,6 +77,7 @@ class TrainingConfig:
     evm_update_freq: int = 10000  # EVM net trains once per this many steps
     mesh_devices: Optional[int] = None  # None = all local devices
     microbatches: int = 1  # gradient-accumulation microbatches (N_f > HBM)
+    loss_mode: str = "MSE"  # MSE | L2 (NSFnet/pinn_solver.py:201-218)
     training_stages: List[TrainingStage] = field(default_factory=lambda: [
         TrainingStage(0.05, 500000, 1e-3, "Stage 1"),
         TrainingStage(0.03, 500000, 2e-4, "Stage 2"),

@@ -44,6 +44,16 @@ def masked_mean_sq(residual: jax.Array, weights: jax.Array, count) -> jax.Array:
     return masked_sum_sq(residual, weights) / count
 
 
+def masked_l2_norm(residual: jax.Array, weights: jax.Array) -> jax.Array:
+    """sqrt(sum(w * r^2)) — the reference's 'L2' loss mode
+    (NSFnet/pinn_solver.py:201-204, 215-218: torch.norm(res, p=2)).
+
+    NOTE: under data parallelism this is computed from the GLOBAL sum of
+    squares (psum before the sqrt), which is the true L2 norm; the
+    reference never runs L2 mode distributed."""
+    return jnp.sqrt(masked_sum_sq(residual, weights) + 1e-30)
+
+
 class LossBundle(NamedTuple):
     total: jax.Array
     boundary: jax.Array

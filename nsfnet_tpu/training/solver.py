@@ -88,6 +88,7 @@ class PINNSolver:
         evm_update_freq: int = 10000,
         log_interval: int = 1000,
         engine: str = "auto",  # auto | pallas | xla — residual-engine backend
+        loss_mode: str = "MSE",  # MSE | L2 (reference v1's un-normalized norms)
         fuse_evm: bool = False,  # route the EVM net through the fused value
         # kernel; measured slightly slower than XLA's own fusion for the
         # tiny 4x40 net (kernel dispatch overhead), so off by default
@@ -100,6 +101,9 @@ class PINNSolver:
         self.fuse_evm = fuse_evm
         self.max_chunk = max_chunk
         self.microbatches = max(1, int(microbatches))
+        self.loss_mode = loss_mode
+        if loss_mode == "L2" and self.microbatches > 1:
+            raise ValueError("L2 loss mode does not compose with microbatching")
         self.Re = float(Re)
         self.vis_t0 = 20.0 / self.Re  # ev-NSFnet/pinn_solver.py:67
         self.N_f = N_f
@@ -341,6 +345,7 @@ class PINNSolver:
             entropy_weight=self.entropy_residual_weight,
             evm=self.evm,
             axis_name=axis_name,
+            loss_mode=self.loss_mode,
         )
 
     def _ensure_ready(self):
@@ -351,6 +356,8 @@ class PINNSolver:
         # auto-partitioned, so the multi-device Pallas path runs the step
         # under shard_map with explicit psums.
         sharded = self.engine == "pallas" and self.world_size > 1
+        if self.loss_mode == "L2" and sharded:
+            raise ValueError("L2 loss mode is single-program only (like the reference's)")
         axis_name = pmesh.DATA_AXIS if sharded else None
         loss_fn = self._make_loss(self.engine, axis_name)
         # diagnostics/L-BFGS loss: XLA engine, no collectives — valid under

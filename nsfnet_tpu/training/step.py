@@ -60,6 +60,7 @@ def make_loss_fn(
     entropy_weight: float = 0.1,
     evm: bool = True,
     axis_name: Optional[str] = None,
+    loss_mode: str = "MSE",
 ):
     """Build the pure loss function. Static config is closed over; runtime
     scalars (lr/alpha_evm/Re/bc weight) are arguments so stages don't
@@ -68,7 +69,15 @@ def make_loss_fn(
     axis_name: set when the loss runs inside shard_map — every component is
     a local-sum/global-count, so one stacked psum turns them into exact
     global means (the collective-light version of the reference's per-rank
-    loss all_reduce, ev-NSFnet/pinn_solver.py:413-424)."""
+    loss all_reduce, ev-NSFnet/pinn_solver.py:413-424).
+
+    loss_mode: 'MSE' (default) or 'L2' — the reference v1's un-normalized
+    L2-norm loss (NSFnet/pinn_solver.py:201-218). L2 is single-program only
+    (like the reference's); the solver rejects L2 + sharding/microbatching.
+    """
+    assert loss_mode in ("MSE", "L2")
+    if loss_mode == "L2":
+        assert axis_name is None, "L2 loss mode is not supported under shard_map"
 
     def eq_loss_fn(params_all, x_f, y_f, eq_w, n_f, vis_t_minus, sc: StageScalars):
         """Equation-residual part of the loss on a (micro)batch of
@@ -91,7 +100,15 @@ def make_loss_fn(
             new_vis_t_minus = vis_t_minus
             vis_t_mean = jnp.zeros(())
 
-        loss_e, (l1, l2, l3, l4) = L.equation_loss(res, eq_w, n_f, entropy_weight)
+        if loss_mode == "L2":
+            l1 = L.masked_l2_norm(res.eq1, eq_w)
+            l2 = L.masked_l2_norm(res.eq2, eq_w)
+            l3 = L.masked_l2_norm(res.eq3, eq_w)
+            l4 = (L.masked_l2_norm(res.eq4, eq_w) if res.eq4 is not None
+                  else jnp.zeros(()))
+            loss_e = l1 + l2 + l3 + (entropy_weight * l4 if evm else 0.0)
+        else:
+            loss_e, (l1, l2, l3, l4) = L.equation_loss(res, eq_w, n_f, entropy_weight)
         return alpha_e * loss_e, (l1, l2, l3, l4, vis_t_mean, new_vis_t_minus)
 
     def aux_loss_fn(params_all, batch: Batch, sc: StageScalars):
@@ -100,8 +117,13 @@ def make_loss_fn(
         params, _ = params_all
         x_bc = jnp.concatenate([batch.x_b, batch.y_b], axis=1)
         uvp_b = apply_main(params, x_bc)
-        loss_b = L.boundary_loss(uvp_b[:, 0:1], uvp_b[:, 1:2],
-                                 batch.u_b, batch.v_b, batch.b_mask, batch.n_b)
+        if loss_mode == "L2":
+            # norm(u_b - u_pred) + norm(v_b - v_pred), NSFnet/pinn_solver.py:201-203
+            loss_b = (L.masked_l2_norm(uvp_b[:, 0:1] - batch.u_b, batch.b_mask)
+                      + L.masked_l2_norm(uvp_b[:, 1:2] - batch.v_b, batch.b_mask))
+        else:
+            loss_b = L.boundary_loss(uvp_b[:, 0:1], uvp_b[:, 1:2],
+                                     batch.u_b, batch.v_b, batch.b_mask, batch.n_b)
 
         if batch.x_s is not None:
             x_sup = jnp.concatenate([batch.x_s, batch.y_s], axis=1)

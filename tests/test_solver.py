@@ -298,3 +298,31 @@ def test_crash_auto_resume(tmp_path):
     solver.train(num_epoch=6, lr=1e-3)
     assert int(solver.state.epoch_in_stage) == 6
     assert calls["n"] == 4  # rebuilt runner replaced the flaky wrapper
+
+
+def test_l2_loss_mode():
+    """Reference v1's 'L2' loss mode: un-normalized L2 norms
+    (NSFnet/pinn_solver.py:201-218)."""
+    solver = _make_solver(loss_mode="L2", evm=False, layers_1=None)
+    _attach_data(solver)
+    before = _loss_of(solver)
+    solver.train(num_epoch=30, lr=1e-3)
+    after = _loss_of(solver)
+    assert np.isfinite(after) and after < before
+
+    # L2 value == sum of norms computed by hand on the same batch
+    import jax.numpy as jnp
+    from nsfnet_tpu.ops.losses import masked_l2_norm
+    b = solver._batch
+    uvp = solver.net.apply(solver.state.params, jnp.concatenate([b.x_b, b.y_b], 1))
+    expect_b = (float(masked_l2_norm(uvp[:, 0:1] - b.u_b, b.b_mask))
+                + float(masked_l2_norm(uvp[:, 1:2] - b.v_b, b.b_mask)))
+    total, (metrics, _) = solver._loss_fn(
+        (solver.state.params, solver.state.params_evm), b,
+        solver.state.vis_t_minus, solver._stage_scalars(0.0))
+    np.testing.assert_allclose(float(metrics.boundary), expect_b, rtol=1e-6)
+
+
+def test_l2_mode_rejects_microbatching():
+    with pytest.raises(ValueError):
+        _make_solver(loss_mode="L2", microbatches=2)
