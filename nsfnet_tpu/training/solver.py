@@ -169,6 +169,10 @@ class PINNSolver:
         )
         self.global_step = 0
 
+        # loss history, dumped as eq_losses.mat next to checkpoints
+        # (parity: NSFnet/pinn_solver.py:374-380)
+        self._loss_history = []
+
         # host-side staged data (set_* fills these)
         self._bc = None
         self._eq = None
@@ -583,6 +587,15 @@ class PINNSolver:
             "alpha_evm": self.alpha_evm,
             "stage": self.current_stage,
         })
+        if self._loss_history:
+            import scipy.io
+
+            hist = np.asarray(self._loss_history, dtype=np.float64)
+            scipy.io.savemat(
+                os.path.join(os.path.dirname(path), "eq_losses.mat"),
+                {"step": hist[:, 0], "total": hist[:, 1], "eq": hist[:, 2],
+                 "bc": hist[:, 3], "eq1": hist[:, 4], "eq2": hist[:, 5],
+                 "eq3": hist[:, 6], "eq4": hist[:, 7]})
         return path
 
     def load(self, path: str):
@@ -614,6 +627,10 @@ class PINNSolver:
                    pts_per_step, stage_elapsed, total_elapsed, lr):
         if self.rank != 0:
             return
+        self._loss_history.append((
+            self.global_step, float(m.total), float(m.equation),
+            float(m.boundary), float(m.eq1), float(m.eq2), float(m.eq3),
+            float(m.eq4)))
         re_now = getattr(self, "current_re", self.Re)
         re_eff = 1.0 / (1.0 / re_now + float(m.vis_t_mean)) if self.evm else re_now
         throughput = interval_it_s * pts_per_step
