@@ -326,3 +326,13 @@ def test_l2_loss_mode():
 def test_l2_mode_rejects_microbatching():
     with pytest.raises(ValueError):
         _make_solver(loss_mode="L2", microbatches=2)
+
+
+def test_kan_plot(tmp_path):
+    from nsfnet_tpu.models.kan import KAN
+    from nsfnet_tpu.utils.visualization import kan_plot
+
+    kan = KAN(width=(2, 4, 3))
+    params = kan.init(jax.random.PRNGKey(0))
+    p = kan_plot(kan, params, out_path=str(tmp_path / "kan.png"))
+    assert os.path.getsize(p) > 0
