@@ -29,7 +29,6 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_PTS_PER_SEC = 142_000.0  # 1x P100 (ev-NSFnet/README.md:56)

@@ -12,7 +12,7 @@ this module is pure elementwise math that XLA fuses into the tangent sweeps.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
-
 
 class ScalarWriter:
     def __init__(self, log_dir: str, enable_tensorboard: bool = True):
