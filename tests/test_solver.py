@@ -336,3 +336,20 @@ def test_kan_plot(tmp_path):
     params = kan.init(jax.random.PRNGKey(0))
     p = kan_plot(kan, params, out_path=str(tmp_path / "kan.png"))
     assert os.path.getsize(p) > 0
+
+
+def test_pallas_sharded_with_supervision_and_sdf():
+    """Sharded pallas runner with every batch feature active."""
+    solver = _make_solver(engine="pallas", hidden_size=16, layers=2,
+                          mesh=create_mesh(4))
+    _attach_data(solver, n_f=128, sdf_enabled=True)
+    rng = np.random.default_rng(1)
+    sup = (rng.uniform(0, 1, (16, 1)).astype(np.float32),
+           rng.uniform(0, 1, (16, 1)).astype(np.float32),
+           rng.normal(size=(16, 1)).astype(np.float32),
+           rng.normal(size=(16, 1)).astype(np.float32),
+           rng.normal(size=(16, 1)).astype(np.float32))
+    solver.set_supervised_data(sup)
+    solver.set_supervised_loss_weight(0.7)
+    solver.train(num_epoch=3, lr=1e-3)
+    assert np.isfinite(_loss_of(solver))
