@@ -149,24 +149,33 @@ def main(argv=None):
         solver.clear_supervised_data()
         solver.set_supervised_loss_weight(0.0)
 
+    start_step = 0
     if args.resume:
         solver.load(args.resume)
-        logger.info(f"resumed from {args.resume} at step {solver.global_step}")
+        start_step = solver.global_step
+        logger.info(f"resumed from {args.resume} at step {start_step}")
 
     stages = cfg.training.training_stages
     total = sum(st.epochs for st in stages)
     logger.info(f"training: total epochs={total:,} over {len(stages)} stages")
+    cum = 0
     for i, st in enumerate(stages):
-        logger.stage(st.name, st.alpha, st.epochs, st.lr)
+        stage_end = cum + st.epochs
+        if start_step >= stage_end:
+            cum = stage_end
+            continue  # stage fully covered by the restored global step
+        epochs = stage_end - max(start_step, cum)
+        cum = stage_end
+        logger.stage(st.name, st.alpha, epochs, st.lr)
         solver.current_stage = st.name
         solver.set_alpha_evm(st.alpha)
         if i == 0 and args.profile:
             from nsfnet_tpu.utils.profiling import xla_trace
 
             with xla_trace(args.profile):
-                solver.train(num_epoch=st.epochs, lr=st.lr, optimizer=st.optimizer)
+                solver.train(num_epoch=epochs, lr=st.lr, optimizer=st.optimizer)
         else:
-            solver.train(num_epoch=st.epochs, lr=st.lr, optimizer=st.optimizer)
+            solver.train(num_epoch=epochs, lr=st.lr, optimizer=st.optimizer)
         if eval_fields:
             solver.evaluate(*eval_fields)
     logger.header("Training Completed")

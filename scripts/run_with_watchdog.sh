@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Unattended-training watchdog: restarts the driver from the newest
+# full-state checkpoint if the log goes stale (hung device dispatch — seen
+# on flaky TPU tunnels) or the process dies. Complements the in-process
+# crash auto-resume (which cannot recover from a HUNG dispatch).
+#
+# Usage: scripts/run_with_watchdog.sh <config.yaml> <logfile> [stale_secs]
+set -u
+CONFIG="$1"; LOG="$2"; STALE="${3:-600}"
+RESULTS_DIR=$(python - "$CONFIG" <<'PY'
+import sys, yaml
+cfg = yaml.safe_load(open(sys.argv[1]))
+print((cfg.get("training") or {}).get("checkpoint_dir", "results"))
+PY
+)
+touch "$LOG"
+while true; do
+  RESUME=()
+  LATEST=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
+           | sort -rn | head -1 | cut -d' ' -f2-)
+  [ -n "$LATEST" ] && RESUME=(--resume "$LATEST")
+  echo "[watchdog] launching (resume: ${LATEST:-none})" >> "$LOG"
+  python -u -m nsfnet_tpu.train --config "$CONFIG" "${RESUME[@]}" >> "$LOG" 2>&1 &
+  PID=$!
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 60
+    AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ "$AGE" -gt "$STALE" ]; then
+      echo "[watchdog] log stale ${AGE}s - killing pid $PID" >> "$LOG"
+      kill -9 "$PID" 2>/dev/null
+      sleep 5
+      break
+    fi
+  done
+  if wait "$PID" 2>/dev/null; then
+    echo "[watchdog] training completed" >> "$LOG"
+    exit 0
+  fi
+  echo "[watchdog] run ended abnormally - restarting" >> "$LOG"
+  sleep 10
+done
