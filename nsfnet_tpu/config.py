@@ -78,6 +78,7 @@ class TrainingConfig:
     mesh_devices: Optional[int] = None  # None = all local devices
     microbatches: int = 1  # gradient-accumulation microbatches (N_f > HBM)
     loss_mode: str = "MSE"  # MSE | L2 (NSFnet/pinn_solver.py:201-218)
+    resample_each_stage: bool = False  # draw fresh collocation points per stage
     training_stages: List[TrainingStage] = field(default_factory=lambda: [
         TrainingStage(0.05, 500000, 1e-3, "Stage 1"),
         TrainingStage(0.03, 500000, 2e-4, "Stage 2"),

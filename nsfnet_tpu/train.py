@@ -169,6 +169,12 @@ def main(argv=None):
         logger.stage(st.name, st.alpha, epochs, st.lr)
         solver.current_stage = st.name
         solver.set_alpha_evm(st.alpha)
+        if cfg.training.resample_each_stage and i > 0:
+            # fresh Latin-Hypercube draw per stage (extension; the reference
+            # keeps one fixed point set for the whole run). Same shapes ->
+            # no recompilation.
+            solver.set_eq_training_data(X=data.training_data(),
+                                        weights=data.sdf_weights)
         if i == 0 and args.profile:
             from nsfnet_tpu.utils.profiling import xla_trace
 

@@ -54,3 +54,8 @@ def test_validation_catches_errors():
     warnings = cm.validate()
     assert any("Re" in w for w in warnings)
     assert any("model_variant" in w for w in warnings)
+
+
+def test_resample_flag_parses():
+    cm = ConfigManager.from_dict({"training": {"resample_each_stage": True}})
+    assert cm.config.training.resample_each_stage is True
