@@ -39,7 +39,10 @@ def main():
     from nsfnet_tpu.training.solver import PINNSolver
 
     n_chips = len(jax.devices())
-    n_f = 120_000
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # the headline metric is defined on TPU; off-TPU this is only a smoke
+    # run, so shrink it to keep it fast
+    n_f = 120_000 if on_tpu else 8_192
 
     solver = PINNSolver(
         Re=2000, layers=6, layers_1=4, hidden_size=80, hidden_size_1=40,
@@ -63,7 +66,7 @@ def main():
     # TPU compile): first call compiles+warms, then take the best of three
     # timed chunks (first post-compile chunk often still sees device-side
     # queue interference).
-    steps = 1000 if jax.devices()[0].platform != "cpu" else 50
+    steps = 1000 if on_tpu else 20
     solver.state, m = solver._runner(solver.state, solver._batch, sc, n_steps=steps)
     jax.block_until_ready(m.total)
     dt = float("inf")
