@@ -97,14 +97,18 @@ def main(argv=None):
 
     rank = jax.process_index()
     logger = get_logger(cfg.experiment_name, rank=rank)
+    problems = cm.validate()
     if rank == 0:
         logger.header("Experiment Configuration")
         cm.print_config(printer=logger.info)
-        for w in cm.validate():
+        for w in problems:
             logger.warning(w)
     if args.dry_run:
         logger.info("dry-run complete (no training)")
         return 0
+    if problems:
+        logger.error(f"invalid configuration ({len(problems)} problem(s) above); aborting")
+        return 2
 
     solver = build_solver(cfg)
     if rank == 0 and cfg.training.enable_tensorboard:
