@@ -101,18 +101,29 @@ class AppConfig:
     eval_data: str = ""  # path to DNS .mat; empty = skip evaluation
 
 
-def _merge_section(obj, data: dict):
+def _merge_section(obj, data: dict, path: str = "",
+                   unknown: Optional[List[str]] = None):
+    """Merge YAML keys onto a dataclass. Keys that match no field are
+    collected into `unknown` — a typo'd key must warn, not silently train
+    the default curriculum (the reference merges silently,
+    ev-NSFnet/config.py:73-142; validate() there is never even called)."""
     for k, v in (data or {}).items():
-        if hasattr(obj, k) and not isinstance(getattr(obj, k), (SDFWeightConfig, list)):
+        if not hasattr(obj, k):
+            if unknown is not None:
+                unknown.append(f"{path}{k}")
+        elif not isinstance(getattr(obj, k), (SDFWeightConfig, list)):
             setattr(obj, k, v)
+        # SDFWeightConfig / list fields are merged by dedicated handlers
 
 
 class ConfigManager:
     """YAML loader with field-by-field merge over defaults
     (shape parity with ev-NSFnet/config.py:69-142)."""
 
-    def __init__(self, config: Optional[AppConfig] = None):
+    def __init__(self, config: Optional[AppConfig] = None,
+                 unknown_keys: Optional[List[str]] = None):
         self.config = config or AppConfig()
+        self.unknown_keys: List[str] = unknown_keys or []
 
     @classmethod
     def from_file(cls, path: str) -> "ConfigManager":
@@ -125,14 +136,16 @@ class ConfigManager:
     @classmethod
     def from_dict(cls, data: dict) -> "ConfigManager":
         cfg = AppConfig()
-        _merge_section(cfg.physics, data.get("physics"))
-        _merge_section(cfg.network, data.get("network"))
+        unknown: List[str] = []
+        _merge_section(cfg.physics, data.get("physics"), "physics.", unknown)
+        _merge_section(cfg.network, data.get("network"), "network.", unknown)
         if "network" in data and "kan_width" in (data["network"] or {}):
             cfg.network.kan_width = [int(w) for w in data["network"]["kan_width"]]
         tr = data.get("training") or {}
-        _merge_section(cfg.training, tr)
+        _merge_section(cfg.training, tr, "training.", unknown)
         if "sdf_weighting" in tr:
-            _merge_section(cfg.training.sdf_weighting, tr["sdf_weighting"])
+            _merge_section(cfg.training.sdf_weighting, tr["sdf_weighting"],
+                           "training.sdf_weighting.", unknown)
         if "training_stages" in tr:
             stages = []
             for st in tr["training_stages"]:
@@ -149,24 +162,37 @@ class ConfigManager:
                         float(st[0]), int(st[1]), float(st[2]), str(st[3])))
             if stages:
                 cfg.training.training_stages = stages
-        _merge_section(cfg.supervision, data.get("supervision"))
-        for key in ("model_variant", "experiment_name", "description", "eval_data"):
+        _merge_section(cfg.supervision, data.get("supervision"),
+                       "supervision.", unknown)
+        scalar_keys = ("model_variant", "experiment_name", "description",
+                       "eval_data")
+        for key in scalar_keys:
             if key in data:
                 setattr(cfg, key, data[key])
-        return cls(cfg)
+        known_top = set(scalar_keys) | {"physics", "network", "training",
+                                        "supervision"}
+        unknown.extend(k for k in data if k not in known_top)
+        return cls(cfg, unknown_keys=unknown)
 
     def validate(self) -> List[str]:
         warnings = []
         c = self.config
+        for k in self.unknown_keys:
+            warnings.append(f"unknown config key {k!r} (would be silently "
+                            f"ignored — typo?)")
         if c.physics.Re <= 0:
             warnings.append("Re must be > 0")
         if c.training.N_f <= 0:
             warnings.append("N_f must be > 0")
         if c.model_variant not in ("nsfnet", "ev-nsfnet", "kan"):
             warnings.append(f"unknown model_variant {c.model_variant!r}")
-        for st in c.training.training_stages:
+        for i, st in enumerate(c.training.training_stages, 1):
             if st.optimizer not in ("adam", "lbfgs"):
                 warnings.append(f"unknown stage optimizer {st.optimizer!r}")
+            if st.epochs <= 0:
+                warnings.append(f"stage {i} ({st.name}): epochs must be > 0")
+            if st.lr <= 0:
+                warnings.append(f"stage {i} ({st.name}): lr must be > 0")
         return warnings
 
     def print_config(self, printer=print):

@@ -61,11 +61,18 @@ class CavityData:
     use_native: bool = True  # use native/libpointgen.so when built
 
     def __post_init__(self):
-        self.x_min, self.x_max = 0.0, 1.0
-        self.y_min, self.y_max = 0.0, 1.0
+        # Domain bounds in the TRAINING frame, fixed at construction (the
+        # generation frame is always the unit square; boundary_data/
+        # training_data are idempotent — repeated calls return equal data).
+        lo, hi = (-1.0, 1.0) if self.coord_transform else (0.0, 1.0)
+        self.x_min, self.x_max = lo, hi
+        self.y_min, self.y_max = lo, hi
         self._rng = np.random.default_rng(self.seed)
         self._native_seed = (self.seed if self.seed is not None
                              else int(self._rng.integers(2**63)))
+        self._draws = 0  # native-path draw counter: repeated training_data()
+        # calls must yield FRESH samples (per-stage resampling), while the
+        # first draw stays reproducible from `seed`
         self.pts_bc: Optional[np.ndarray] = None
         self.sdf_weights: Optional[np.ndarray] = None
 
@@ -82,10 +89,9 @@ class CavityData:
         """(x_b, y_b, u_b, v_b), each [4*513, 1] float32; order: bottom,
         top(lid), left, right (cavity_data.py:56-72)."""
         n = POINTS_PER_EDGE
-        line = np.linspace(self.x_min, self.x_max, n)
-        yline = np.linspace(self.y_min, self.y_max, n)
-        x_b = np.concatenate([line, line, np.full(n, self.x_min), np.full(n, self.x_max)])
-        y_b = np.concatenate([np.full(n, self.y_min), np.full(n, self.y_max), yline, yline])
+        line = np.linspace(0.0, 1.0, n)  # generation frame: unit square
+        x_b = np.concatenate([line, line, np.zeros(n), np.ones(n)])
+        y_b = np.concatenate([np.zeros(n), np.ones(n), line, line])
         u_b = np.concatenate([np.zeros(n), lid_velocity(line), np.zeros(n), np.zeros(n)])
         v_b = np.zeros_like(x_b)
 
@@ -93,8 +99,6 @@ class CavityData:
         if self.coord_transform:
             pts = self._to_centered(pts)
             x_b, y_b = pts[:, 0], pts[:, 1]
-            self.x_min = self.y_min = -1.0
-            self.x_max = self.y_max = 1.0
         self.pts_bc = pts
         col = lambda a: a.reshape(-1, 1).astype(np.float32)
         return col(x_b), col(y_b), col(u_b), col(v_b)
@@ -108,12 +112,13 @@ class CavityData:
         from nsfnet_tpu.data import native
 
         go_native = self.use_native and native.available()
-        bounds = ([[self.x_min, self.x_max], [self.y_min, self.y_max]]
-                  if not self.coord_transform else [[0.0, 1.0], [0.0, 1.0]])
+        bounds = [[0.0, 1.0], [0.0, 1.0]]  # generation frame: unit square
         if go_native:
-            xye = native.lh_sample(self.N_f, bounds, self._native_seed)
+            xye = native.lh_sample(self.N_f, bounds,
+                                   self._native_seed + 7919 * self._draws)
         else:
             xye = latin_hypercube(self.N_f, bounds, rng=self._rng)
+        self._draws += 1
         if self.coord_transform:
             xye = self._to_centered(xye)
         if self.sort_training_points:

@@ -40,8 +40,12 @@ def bspline_basis(x: jax.Array, grid: int, k: int, grid_range=(-1.0, 1.0)) -> ja
     """Degree-k B-spline basis values for each scalar in x.
 
     x: [...]; returns [..., grid + k] basis values (Cox-de Boor).
-    Written with jnp.where guards so it is differentiable (a.e.) and
-    jvp-of-jvp-safe: no division by zero reaches the output.
+
+    ASSUMES A UNIFORM KNOT VECTOR (what _knots produces): every Cox-de Boor
+    denominator is a positive multiple of the knot spacing, so no division
+    by zero can occur and the recursion is jvp-of-jvp-safe. Extending to
+    adaptive/non-uniform grids (pykan grid_eps < 1) requires adding
+    jnp.where guards on left_den/right_den first.
     """
     t = _knots(grid, k, grid_range, dtype=x.dtype)  # [grid + 2k + 1]
     xe = x[..., None]

@@ -17,7 +17,8 @@ Identical code runs on 1 chip, a v5e pod slice, or an 8-way fake CPU mesh.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+import os
+from typing import Mapping, Optional, Sequence
 
 import jax
 import numpy as np
@@ -25,19 +26,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# Env markers meaning "this process is one of N>1 in a launched job":
+# our launcher's own count, plus the schedulers jax.distributed knows how
+# to rendezvous under (SLURM / Open MPI / PMI).
+_WORLD_SIZE_VARS = ("NSFNET_NUM_PROCESSES", "SLURM_NTASKS",
+                    "OMPI_COMM_WORLD_SIZE", "PMI_SIZE")
 
-def initialize_distributed() -> None:
+
+def should_initialize_distributed(environ: Optional[Mapping] = None) -> bool:
+    """Decide from the environment ALONE whether this is a multi-process
+    launch — no jax backend query (which would initialize the local backend
+    and break jax.distributed.initialize(), the round-1 ordering bug)."""
+    env = os.environ if environ is None else environ
+    if env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS"):
+        return True
+    # Cloud TPU pod slice: libtpu publishes the worker list on every host
+    if "," in env.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    for var in _WORLD_SIZE_VARS:
+        try:
+            if int(env.get(var, "1")) > 1:
+                return True
+        except (TypeError, ValueError):
+            continue  # malformed count: ignore this marker
+    return False
+
+
+def initialize_distributed(environ: Optional[Mapping] = None) -> bool:
     """Multi-host bring-up (replaces torchrun + NCCL rendezvous,
-    ev-NSFnet/train.py:22-43). No-op when not in a multi-host environment."""
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized
-        import os
+    ev-NSFnet/train.py:22-43). Must be called before anything touches the
+    jax backend. Returns True iff jax.distributed was initialized.
 
-        if "COORDINATOR_ADDRESS" in os.environ or "JAX_COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
+    A detected-but-failed bring-up RAISES: silently degrading to a
+    single-process run would train on 1/N of the pod with no warning."""
+    if not should_initialize_distributed(environ):
+        return False  # genuine single-process launch
+    try:
+        jax.distributed.initialize()
     except Exception:
-        pass  # single-process fallback, mirrors the reference's graceful degrade
+        from nsfnet_tpu.logger import get_logger
+
+        get_logger().error(
+            "multi-process launch detected (coordinator/world-size env set) "
+            "but jax.distributed.initialize() failed — refusing to silently "
+            "fall back to single-process training")
+        raise
+    return True
 
 
 def create_mesh(n_devices: Optional[int] = None,

@@ -213,6 +213,10 @@ class PINNSolver:
         self._dirty = True
         if self.evm:
             self._init_vis_t()
+            # the carried vis_t belongs to the PREVIOUS point set — force
+            # _build_batch to install the freshly computed init even when
+            # the new draw has the same shape (per-stage resampling)
+            self._vis_stale = True
 
     def _init_vis_t(self):
         """vis_t_minus := alpha_evm*|e(x_f)| with the current EVM net
@@ -316,8 +320,11 @@ class PINNSolver:
 
         if self.evm:
             vtm = pmesh.pad_rows(self._vis_t_init, nf_pad, self.vis_t0)
-            if self.state.vis_t_minus is None or self.state.vis_t_minus.shape != vtm.shape:
+            if (getattr(self, "_vis_stale", True)
+                    or self.state.vis_t_minus is None
+                    or self.state.vis_t_minus.shape != vtm.shape):
                 self.state = self.state._replace(vis_t_minus=sh(vtm))
+                self._vis_stale = False
         return batch
 
     def _engine(self, kind: Optional[str] = None):
@@ -533,14 +540,24 @@ class PINNSolver:
         u_t, v_t, p_t = (np.asarray(a, np.float64).reshape(-1, 1) for a in (u, v, p))
         mask = ~np.isnan(p_t)
         err = lambda t, q: 100.0 * np.linalg.norm(t - q) / np.linalg.norm(t)
+        p64 = p_pred.astype(np.float64)
+        # steady NS defines p only up to an additive constant; report the
+        # raw error (what the reference computes) AND the gauge-corrected
+        # one (best-fit constant removed — the physically meaningful metric)
+        shift = float(np.mean(p_t[mask] - p64[mask]))
         errors = {
             "u": err(u_t, u_pred.astype(np.float64)),
             "v": err(v_t, v_pred.astype(np.float64)),
-            "p": err(p_t[mask], p_pred.astype(np.float64)[mask]),
+            "p": err(p_t[mask], p64[mask]),
+            "p_gauge": err(p_t[mask], p64[mask] + shift),
+            "p_shift": shift,
         }
         if self.rank == 0:
-            self.logger.info("Error u: %.3f %%  v: %.3f %%  p: %.3f %%"
-                             % (errors["u"], errors["v"], errors["p"]))
+            self.logger.info(
+                "Error u: %.3f %%  v: %.3f %%  p: %.3f %% "
+                "(gauge-corrected %.3f %%, shift %.4f)"
+                % (errors["u"], errors["v"], errors["p"],
+                   errors["p_gauge"], shift))
         return errors
 
     def test(self, x, y, u, v, p, loop=None, save_dir=None):
@@ -565,6 +582,7 @@ class PINNSolver:
                     "E_pred": np.asarray(e_pred).reshape(shape),
                     "error_u": errors["u"], "error_v": errors["v"],
                     "error_p": errors["p"],
+                    "error_p_gauge": errors["p_gauge"],
                     "lam_bcs": self.alpha_b, "lam_equ": self.alpha_e,
                 })
         return errors
@@ -578,9 +596,12 @@ class PINNSolver:
         return os.path.join(self.checkpoint_path, f"Re{self.Re:g}", f"{nn}_{lam}")
 
     def save(self, filename: str, directory: Optional[str] = None):
-        if self.rank != 0:
-            return
+        """Write a full-state checkpoint (rank 0 writes; EVERY rank gets the
+        path back so crash auto-resume can roll back consistently on all
+        processes — the path is deterministic across ranks)."""
         path = os.path.join(directory or self._ckpt_dir(), filename)
+        if self.rank != 0:
+            return path
         ckpt.save_state(path, self.state, metadata={
             "global_step": self.global_step,
             "Re": self.Re,

@@ -1,0 +1,109 @@
+"""Precision/backbone throughput matrix (VERDICT round-1 item 10).
+
+Measures collocation points/sec/chip for the flagship ev-NSFnet step at
+each matmul precision (highest = exact fp32 6-pass, high = bf16x3,
+default = bf16) and for the KAN backbone (generic jvp engine), using the
+same methodology as bench.py (scan-chunked steps, best-of-3 after a
+warm-up chunk). Writes artifacts/perf_matrix.json and prints a markdown
+table to stderr plus one JSON line per row to stdout.
+
+Run on the real TPU with no other device process active:
+    python scripts/perf_matrix.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+REFERENCE_PTS_PER_SEC = 142_000.0  # 1x P100 (ev-NSFnet/README.md:56)
+
+
+def measure(solver, n_f, steps):
+    sc = solver._stage_scalars(1e-3)
+    pts_per_step = n_f + 4 * 513
+    solver.state, m = solver._runner(solver.state, solver._batch, sc,
+                                     n_steps=steps)
+    jax.block_until_ready(m.total)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solver.state, m = solver._runner(solver.state, solver._batch, sc,
+                                         n_steps=steps)
+        jax.block_until_ready(m.total)
+        dt = min(dt, time.perf_counter() - t0)
+    assert np.isfinite(float(m.total)), "diverged"
+    return steps * pts_per_step / dt / len(jax.devices())
+
+
+def build(n_f, **kw):
+    from nsfnet_tpu.data.cavity import CavityData
+    from nsfnet_tpu.training.solver import PINNSolver
+
+    defaults = dict(
+        Re=2000, layers=6, layers_1=4, hidden_size=80, hidden_size_1=40,
+        N_f=n_f, alpha_evm=0.05, bc_weight=10, eq_weight=1,
+        log_interval=10**9, checkpoint_freq=10**9, seed=0)
+    defaults.update(kw)
+    solver = PINNSolver(**defaults)
+    data = CavityData(N_f=n_f, sort_training_points=False,
+                      sdf_enabled=True, seed=0)
+    solver.set_boundary_data(X=data.boundary_data())
+    solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    solver._ensure_ready()
+    return solver
+
+
+def main():
+    quick = "--quick" in sys.argv
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_f = 120_000 if (on_tpu and not quick) else 8_192
+    steps = 1000 if (on_tpu and not quick) else 20
+    kan_n_f = 16_384 if (on_tpu and not quick) else 2_048
+    kan_steps = 100 if (on_tpu and not quick) else 5
+
+    rows = []
+    for prec in ("highest", "high", "default"):
+        pts = measure(build(n_f, matmul_precision=prec), n_f, steps)
+        rows.append({"config": f"mlp/pallas {prec}", "pts_per_s_per_chip":
+                     round(pts, 1), "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    # KAN backbone: generic jvp engine (no fused kernel yet); smaller N_f —
+    # its activation footprint per point is much larger than the MLP's
+    kan = build(kan_n_f, backbone="kan", kan_width=(2, 16, 16, 8),
+                kan_grid=5, kan_k=3, evm=False, layers_1=None,
+                matmul_precision="high")
+    pts = measure(kan, kan_n_f, kan_steps)
+    rows.append({"config": "kan/generic high", "pts_per_s_per_chip":
+                 round(pts, 1), "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+    print(json.dumps(rows[-1]), flush=True)
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/perf_matrix.json", "w") as f:
+        json.dump({"platform": jax.devices()[0].platform,
+                   "n_f": n_f, "rows": rows}, f, indent=1)
+    print("| config | pts/s/chip | vs P100 baseline |", file=sys.stderr)
+    print("|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(f"| {r['config']} | {r['pts_per_s_per_chip']:,.0f} | "
+              f"{r['vs_baseline']:.1f}x |", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

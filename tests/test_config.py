@@ -59,3 +59,30 @@ def test_validation_catches_errors():
 def test_resample_flag_parses():
     cm = ConfigManager.from_dict({"training": {"resample_each_stage": True}})
     assert cm.config.training.resample_each_stage is True
+
+
+def test_unknown_keys_warn():
+    # a typo'd key must surface in validate(), not silently train defaults
+    cm = ConfigManager.from_dict({
+        "traning_stages": [],                         # top-level typo
+        "physics": {"Re": 100, "alpha_evn": 0.1},     # nested typo
+        "training": {"N_ff": 1,
+                     "sdf_weighting": {"min_wieght": 0.3}},
+    })
+    joined = "\n".join(cm.validate())
+    assert "traning_stages" in joined
+    assert "physics.alpha_evn" in joined
+    assert "training.N_ff" in joined
+    assert "training.sdf_weighting.min_wieght" in joined
+    # a clean config produces no unknown-key warnings
+    assert ConfigManager.from_dict({"physics": {"Re": 100}}).validate() == []
+
+
+def test_stage_positivity_validated():
+    cm = ConfigManager.from_dict({"training": {"training_stages": [
+        {"alpha": 0.05, "epochs": 0, "lr": 1e-3, "name": "bad_epochs"},
+        {"alpha": 0.05, "epochs": 10, "lr": -1.0, "name": "bad_lr"},
+    ]}})
+    probs = cm.validate()
+    assert any("epochs must be > 0" in p for p in probs)
+    assert any("lr must be > 0" in p for p in probs)

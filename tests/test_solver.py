@@ -353,3 +353,59 @@ def test_pallas_sharded_with_supervision_and_sdf():
     solver.set_supervised_loss_weight(0.7)
     solver.train(num_epoch=3, lr=1e-3)
     assert np.isfinite(_loss_of(solver))
+
+
+def test_resample_reinstalls_vis_t():
+    """Per-stage resampling must re-initialize the EVM viscosity carry from
+    the NEW points (init_vis_t semantics, ev-NSFnet/pinn_solver.py:138-140)
+    — the old shape-equality guard silently kept the stale carry."""
+    solver = _make_solver()
+    data = _attach_data(solver)
+    solver.train(num_epoch=5, lr=1e-3)
+    carried = np.asarray(solver.state.vis_t_minus)
+    solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    solver._ensure_ready()
+    reinit = np.asarray(solver.state.vis_t_minus)
+    assert reinit.shape == carried.shape
+    assert not np.allclose(reinit, carried)  # new points -> new field
+    n_f = solver._vis_t_init.shape[0]
+    np.testing.assert_allclose(reinit[:n_f], solver._vis_t_init, rtol=1e-6)
+
+
+def test_save_returns_path_on_all_ranks(tmp_path):
+    """Crash auto-resume needs every rank to agree on last_ckpt: save()
+    returns the (deterministic) path everywhere, writes on rank 0 only."""
+    solver = _make_solver(checkpoint_path=str(tmp_path))
+    _attach_data(solver)
+    solver._ensure_ready()
+    solver.rank = 1
+    p1 = solver.save("x.ckpt")
+    assert p1 is not None and not os.path.exists(p1)
+    solver.rank = 0
+    p0 = solver.save("x.ckpt")
+    assert p0 == p1 and os.path.exists(p0)
+
+
+def test_crash_auto_resume_on_nonzero_rank(tmp_path):
+    """Multi-process-shaped rollback: a NON-writing rank must also track
+    last_ckpt (save() returns the shared path everywhere) and resume from
+    the rank-0-written checkpoint instead of re-raising."""
+    solver = _make_solver(checkpoint_freq=2, checkpoint_path=str(tmp_path))
+    _attach_data(solver)
+    solver._ensure_ready()
+    # rank 0 writes the checkpoint this "rank 1" will roll back to
+    solver.train(num_epoch=2, lr=1e-3)
+    solver.rank = 1  # from here on this process behaves as a non-zero rank
+    real_runner = solver._runner
+    calls = {"n": 0}
+
+    def flaky(state, batch, sc, n_steps):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise jax.errors.JaxRuntimeError("simulated worker crash")
+        return real_runner(state, batch, sc, n_steps=n_steps)
+
+    solver._runner = flaky
+    solver.train(num_epoch=4, lr=1e-3)  # ckpt at stage-epoch 2, crash after
+    assert int(solver.state.epoch_in_stage) == 4
+    assert calls["n"] >= 2  # crashed once, then resumed via rollback
