@@ -36,6 +36,43 @@ def _knots(grid: int, k: int, grid_range: Tuple[float, float], dtype=jnp.float32
     return jnp.arange(-k, grid + k + 1, dtype=dtype) * h + lo
 
 
+def _cox_de_boor(x: jax.Array, t: jnp.ndarray, degree: int) -> jax.Array:
+    """Cox-de Boor recursion to `degree` over an explicit knot vector t.
+    Returns [..., len(t) - 1 - degree] basis values. Uniform-knot safe
+    (denominators are positive multiples of the spacing)."""
+    xe = x[..., None]
+    b = ((xe >= t[:-1]) & (xe < t[1:])).astype(x.dtype)
+    for d in range(1, degree + 1):
+        left = (xe - t[: -(d + 1)]) / (t[d:-1] - t[: -(d + 1)]) * b[..., :-1]
+        right = (t[d + 1:] - xe) / (t[d + 1:] - t[1:-d]) * b[..., 1:]
+        b = left + right
+    return b
+
+
+def bspline_basis_derivs(x: jax.Array, grid: int, k: int,
+                         grid_range=(-1.0, 1.0)):
+    """(B, B', B'') of the degree-k basis at x — closed form for the PINN
+    residual engine (needs value + 1st + 2nd derivatives in one pass).
+
+    On a uniform knot vector with spacing h the standard derivative
+    recurrences collapse to finite differences of lower-degree bases:
+        B'_m  = (B_{m,k-1} - B_{m+1,k-1}) / h
+        B''_m = (B_{m,k-2} - 2 B_{m+1,k-2} + B_{m+2,k-2}) / h^2
+    Requires k >= 2 (true for the notebook's k=3). Each array is
+    [..., grid + k].
+    """
+    assert k >= 2, "second derivatives need spline degree >= 2"
+    lo, hi = grid_range
+    h = (hi - lo) / grid
+    t = _knots(grid, k, grid_range, dtype=x.dtype)
+    b_k = _cox_de_boor(x, t, k)            # [..., grid + k]
+    b_k1 = _cox_de_boor(x, t, k - 1)       # [..., grid + k + 1]
+    b_k2 = _cox_de_boor(x, t, k - 2)       # [..., grid + k + 2]
+    db = (b_k1[..., :-1] - b_k1[..., 1:]) / h
+    d2b = (b_k2[..., :-2] - 2.0 * b_k2[..., 1:-1] + b_k2[..., 2:]) / (h * h)
+    return b_k, db, d2b
+
+
 def bspline_basis(x: jax.Array, grid: int, k: int, grid_range=(-1.0, 1.0)) -> jax.Array:
     """Degree-k B-spline basis values for each scalar in x.
 
@@ -48,16 +85,7 @@ def bspline_basis(x: jax.Array, grid: int, k: int, grid_range=(-1.0, 1.0)) -> ja
     jnp.where guards on left_den/right_den first.
     """
     t = _knots(grid, k, grid_range, dtype=x.dtype)  # [grid + 2k + 1]
-    xe = x[..., None]
-    # Degree-0: indicator of [t_m, t_{m+1}); [..., grid + 2k]
-    b = ((xe >= t[:-1]) & (xe < t[1:])).astype(x.dtype)
-    for d in range(1, k + 1):
-        left_den = t[d:-1] - t[: -(d + 1)]
-        right_den = t[d + 1:] - t[1:-d]
-        left = (xe - t[: -(d + 1)]) / left_den * b[..., :-1]
-        right = (t[d + 1:] - xe) / right_den * b[..., 1:]
-        b = left + right
-    return b  # [..., grid + k]
+    return _cox_de_boor(x, t, k)  # [..., grid + k]
 
 
 def init_kan(

@@ -19,13 +19,21 @@ from flax import serialization
 
 
 def save_state(path: str, state: Any, metadata: Optional[dict] = None) -> None:
+    """Atomic write (tmp + rename): an unattended-run watchdog may kill the
+    process mid-checkpoint and resume from the newest file — a torn write
+    must never be the newest file."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     host_state = jax.device_get(state)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_state))
+        f.flush()
+        os.fsync(f.fileno())
     if metadata is not None:
-        with open(path + ".json", "w") as f:
+        with open(path + ".json.tmp", "w") as f:
             json.dump(metadata, f, indent=2)
+        os.replace(path + ".json.tmp", path + ".json")
+    os.replace(tmp, path)  # ckpt becomes visible only after its metadata
 
 
 def restore_state(path: str, template: Any) -> Any:

@@ -330,6 +330,12 @@ class PINNSolver:
     def _engine(self, kind: Optional[str] = None):
         kind = kind or self.engine
         if self._generic_engine:
+            if self.backbone == "kan" and kind != "generic":
+                # closed-form B-spline/silu tangent propagation — one basis
+                # evaluation per layer instead of two traced jvp sweeps
+                from nsfnet_tpu.ops.derivatives import make_kan_derivatives_2d
+
+                return make_kan_derivatives_2d(self.net)
             apply = self.net.apply
             return lambda params, x: derivatives_2d(lambda z: apply(params, z), x)
         if kind == "pallas":

@@ -99,3 +99,53 @@ def test_engines_jit_and_grad_compatible(x64):
 
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(w))) for w, _ in g)
+
+
+def test_kan_closed_form_matches_generic_engine(x64):
+    """Closed-form KAN tangent propagation (make_kan_derivatives_2d) must
+    agree with the generic jvp-of-jvp engine to machine precision at
+    float64 (points drawn inside knot cells; both engines treat knot
+    boundaries by the same a.e. convention)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsfnet_tpu.models.kan import KAN
+    from nsfnet_tpu.ops.derivatives import (derivatives_2d,
+                                            make_kan_derivatives_2d)
+
+    kan = KAN(width=(2, 9, 7, 3), grid=5, k=3)
+    params = kan.init(jax.random.PRNGKey(1), dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-0.93, 0.93, (64, 2)))
+
+    closed = make_kan_derivatives_2d(kan)(params, x)
+    generic = derivatives_2d(lambda z: kan.apply(params, z), x)
+    for c, g, name in zip(closed, generic, ("f", "fx", "fy", "fxx", "fyy")):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(g),
+                                   rtol=1e-9, atol=1e-11, err_msg=name)
+
+
+def test_kan_closed_form_second_derivative_vs_finite_difference(x64):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsfnet_tpu.models.kan import KAN
+    from nsfnet_tpu.ops.derivatives import make_kan_derivatives_2d
+
+    kan = KAN(width=(2, 8, 1), grid=5, k=3)
+    params = kan.init(jax.random.PRNGKey(3), dtype=jnp.float64)
+    eng = make_kan_derivatives_2d(kan)
+    x0 = jnp.asarray([[0.137, -0.295]])
+    eps = 1e-5
+
+    def f(px, py):
+        return float(kan.apply(params, jnp.asarray([[px, py]]))[0, 0])
+
+    _, fx, fy, fxx, fyy = (np.asarray(a)[0, 0] for a in eng(params, x0))
+    px, py = 0.137, -0.295
+    assert abs(fx - (f(px + eps, py) - f(px - eps, py)) / (2 * eps)) < 1e-7
+    assert abs(fy - (f(px, py + eps) - f(px, py - eps)) / (2 * eps)) < 1e-7
+    assert abs(fxx - (f(px + eps, py) - 2 * f(px, py) + f(px - eps, py)) / eps**2) < 1e-5
+    assert abs(fyy - (f(px, py + eps) - 2 * f(px, py) + f(px, py - eps)) / eps**2) < 1e-5
