@@ -267,15 +267,7 @@ class PINNSolver:
 
         x_f, y_f = self._eq
         n_f = x_f.shape[0]
-        # Pallas engine needs each per-device shard to be a whole number of
-        # kernel tiles.
-        eq_lane = 8
-        if self.engine == "pallas":
-            from nsfnet_tpu.ops.pallas_mlp import TILE
-
-            eq_lane = TILE
-        # each per-device, per-microbatch slice must stay lane-aligned
-        nf_pad = pmesh.padded_size(n_f, msize, lane=eq_lane * self.microbatches)
+        nf_pad = self._eq_pad_size(n_f)
         w = self._eq_weights if self._eq_weights is not None else np.ones((n_f, 1), np.float32)
         eq_w = pmesh.pad_rows(w, nf_pad, 0.0)
 
@@ -326,6 +318,18 @@ class PINNSolver:
                 self.state = self.state._replace(vis_t_minus=sh(vtm))
                 self._vis_stale = False
         return batch
+
+    def _eq_pad_size(self, n_f: int) -> int:
+        """Padded collocation-row count for THIS engine/mesh: the Pallas
+        engine needs whole kernel tiles per device shard; each per-device,
+        per-microbatch slice must stay lane-aligned."""
+        eq_lane = 8
+        if self.engine == "pallas":
+            from nsfnet_tpu.ops.pallas_mlp import TILE
+
+            eq_lane = TILE
+        return pmesh.padded_size(n_f, self.world_size,
+                                 lane=eq_lane * self.microbatches)
 
     def _engine(self, kind: Optional[str] = None):
         kind = kind or self.engine
@@ -511,9 +515,14 @@ class PINNSolver:
     # ------------------------------------------------------------ inference
 
     def _predict_impl(self, params, params_evm, x):
-        uvp = self.net.apply(params, x)
-        e = (self.net_1.apply(params_evm, x)[:, 0:1]
-             if self.evm else jnp.zeros((x.shape[0], 1), x.dtype))
+        # evaluation always runs at exact fp32 regardless of the TRAINING
+        # matmul precision — on TPU the default would be bf16-ish and
+        # measurably inflates the reported DNS error (the reference
+        # evaluates in full fp32)
+        with jax.default_matmul_precision("highest"):
+            uvp = self.net.apply(params, x)
+            e = (self.net_1.apply(params_evm, x)[:, 0:1]
+                 if self.evm else jnp.zeros((x.shape[0], 1), x.dtype))
         return uvp[:, 0:1], uvp[:, 1:2], uvp[:, 2:3], e
 
     def neural_net_u(self, x, y):
@@ -632,6 +641,16 @@ class PINNSolver:
         if meta:
             self.global_step = int(meta.get("global_step", self.global_step))
             self.current_stage = meta.get("stage", self.current_stage)
+        vtm = self.state.vis_t_minus
+        if vtm is not None and self._eq is not None:
+            # A checkpoint's carry uses the WRITER's batch padding (e.g.
+            # TILE-padded from the Pallas engine); re-pad the real rows to
+            # THIS engine's padding — otherwise a foreign shape would later
+            # trip _build_batch's guard and silently replace the converged
+            # carry with a fresh init.
+            n_f = self._eq[0].shape[0]
+            rows = np.asarray(vtm)[:n_f]
+            vtm = pmesh.pad_rows(rows, self._eq_pad_size(n_f), self.vis_t0)
         rep = pmesh.replicated_sharding(self.mesh)
         self.state = self.state._replace(
             params=jax.device_put(self.state.params, rep),
@@ -639,8 +658,8 @@ class PINNSolver:
                         if self.evm else None),
             opt_main=jax.device_put(self.state.opt_main, rep),
             opt_evm=(jax.device_put(self.state.opt_evm, rep) if self.evm else None),
-            vis_t_minus=(pmesh.shard_batch(self.mesh, self.state.vis_t_minus)
-                         if self.state.vis_t_minus is not None else None),
+            vis_t_minus=(pmesh.shard_batch(self.mesh, vtm)
+                         if vtm is not None else None),
         )
 
     def _ensure_vis_shape_for_load(self):

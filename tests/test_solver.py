@@ -409,3 +409,31 @@ def test_crash_auto_resume_on_nonzero_rank(tmp_path):
     solver.train(num_epoch=4, lr=1e-3)  # ckpt at stage-epoch 2, crash after
     assert int(solver.state.epoch_in_stage) == 4
     assert calls["n"] >= 2  # crashed once, then resumed via rollback
+
+
+def test_load_repads_foreign_vis_t(tmp_path):
+    """A checkpoint written under a different engine's batch padding (e.g.
+    Pallas TILE-padded) must restore its REAL vis_t rows re-padded to this
+    engine's layout — not trip the shape guard and lose the carry."""
+    import jax.numpy as jnp
+
+    from nsfnet_tpu.training import checkpoint as C
+
+    solver = _make_solver()
+    _attach_data(solver)
+    solver.train(num_epoch=3, lr=1e-3)
+    rows = np.asarray(solver.state.vis_t_minus)
+    n_pad = rows.shape[0]
+    foreign = np.concatenate(
+        [rows, np.full((320, 1), solver.vis_t0, np.float32)])
+    C.save_state(str(tmp_path / "f.ckpt"),
+                 solver.state._replace(vis_t_minus=jnp.asarray(foreign)),
+                 metadata={"global_step": 3})
+
+    s2 = _make_solver()
+    _attach_data(s2)
+    s2.load(str(tmp_path / "f.ckpt"))
+    assert s2.state.vis_t_minus.shape[0] == n_pad
+    np.testing.assert_allclose(np.asarray(s2.state.vis_t_minus), rows)
+    s2._ensure_ready()  # must KEEP the restored carry
+    np.testing.assert_allclose(np.asarray(s2.state.vis_t_minus), rows)
