@@ -25,11 +25,18 @@ def parse_args():
     p.add_argument("--checkpoints", type=str, required=True,
                    help="glob over full-state checkpoint files")
     p.add_argument("--out", type=str, default=None, help="result .mat directory")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (sweeps are cheap; lets them "
+                        "run while the TPU is busy training)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cm = ConfigManager.from_file(args.config) if os.path.exists(args.config) \
         else ConfigManager()
     cfg = cm.config
