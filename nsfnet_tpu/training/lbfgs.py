@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -25,10 +26,20 @@ def run_lbfgs(
     n_steps: int,
     memory_size: int = 10,
     matmul_precision: str = "highest",
+    max_chunk: int = 50,
+    progress: Callable | None = None,
 ):
-    """Minimize loss_fn(params) -> scalar for n_steps L-BFGS iterations.
+    """Minimize loss_fn(params) -> scalar for ~n_steps L-BFGS iterations.
 
-    Returns (final_params, loss_history[n_steps]).
+    Returns (final_params, loss_history).
+
+    The scan is split into fixed-length chunks of `max_chunk` steps, one
+    device dispatch each: a single L-BFGS step runs up to 25 line-search
+    loss evaluations, so an unchunked full-batch scan blows past the TPU
+    watchdog's per-dispatch limit and kills the worker (observed at
+    n_steps=2000, N_f=120k). Every chunk has the SAME static length —
+    one compile total — so n_steps is rounded UP to a whole number of
+    chunks. `progress(steps_done, last_loss)` is called after each chunk.
     """
     opt = optax.lbfgs(
         memory_size=memory_size,
@@ -36,12 +47,12 @@ def run_lbfgs(
     )
 
     value_and_grad = jax.value_and_grad(loss_fn)
+    chunk = max(1, min(int(max_chunk), int(n_steps)))
+    n_chunks = -(-int(n_steps) // chunk)
 
     @jax.jit
-    def fit(params):
+    def run_chunk(params, opt_state):
         with jax.default_matmul_precision(matmul_precision):
-            opt_state = opt.init(params)
-
             def body(carry, _):
                 p, s = carry
                 value, grad = value_and_grad(p)
@@ -50,8 +61,17 @@ def run_lbfgs(
                 p = optax.apply_updates(p, updates)
                 return (p, s), value
 
-            (params_out, _), history = jax.lax.scan(
-                body, (params, opt_state), None, length=n_steps)
-        return params_out, history
+            (params_out, state_out), history = jax.lax.scan(
+                body, (params, opt_state), None, length=chunk)
+        return params_out, state_out, history
 
-    return fit(params)
+    opt_state = jax.jit(opt.init)(params)
+    hists = []
+    for i in range(n_chunks):
+        params, opt_state, hist = run_chunk(params, opt_state)
+        hist.block_until_ready()  # bound dispatch queue; enable progress
+        hists.append(hist)
+        if progress is not None:
+            progress((i + 1) * chunk, float(hist[-1]))
+
+    return params, jnp.concatenate(hists)

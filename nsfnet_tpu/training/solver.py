@@ -500,11 +500,21 @@ class PINNSolver:
             return total
 
         t0 = time.time()
+
+        def _progress(done, last_loss):
+            if self.rank == 0 and done % 200 == 0:
+                self.logger.info(
+                    f"[L-BFGS] step {done}/{num_steps}  loss={last_loss:.3e}  "
+                    f"({done / max(time.time() - t0, 1e-9):.2f} it/s)")
+
+        # one L-BFGS step = up to ~25 line-search evals, so the per-dispatch
+        # step budget is ~40x smaller than the Adam path's max_chunk
         (new_params, new_evm), history = run_lbfgs(
             scalar_loss, (self.state.params, self.state.params_evm),
-            n_steps=num_steps, matmul_precision=self.matmul_precision)
+            n_steps=num_steps, matmul_precision=self.matmul_precision,
+            max_chunk=max(1, self.max_chunk // 40), progress=_progress)
         self.state = self.state._replace(params=new_params, params_evm=new_evm)
-        self.global_step += num_steps
+        self.global_step += int(history.shape[0])  # n_steps rounded up to whole chunks
         if self.rank == 0:
             h = jax.device_get(history)
             self.logger.info(
