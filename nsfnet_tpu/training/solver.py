@@ -257,6 +257,19 @@ class PINNSolver:
     def set_alpha_evm(self, alpha: float):
         self.alpha_evm = float(alpha)  # runtime scalar; no recompile
 
+    def refresh_vis_t(self):
+        """Recompute the lagged viscosity carry from the CURRENT EVM params.
+
+        During an L-BFGS stage the carry is frozen (the line search needs a
+        stationary objective); after many polish steps it goes stale w.r.t.
+        the updated nets. Call this between polish segments to re-anchor it
+        — the Adam path needs none of this (the carry updates every step)."""
+        if not self.evm:
+            return
+        self._init_vis_t()
+        self._vis_stale = True
+        self._dirty = True
+
     # ------------------------------------------------------------ assembly
 
     def _build_batch(self) -> Batch:

@@ -44,15 +44,25 @@ def main(config_path, ckpt, n_steps=200, cpu=False):
     if eval_fields:
         print("before polish:", solver.evaluate(*eval_fields), file=sys.stderr)
     solver.set_alpha_evm(cfg.training.training_stages[-1].alpha)
-    solver.train(num_epoch=int(n_steps), lr=1.0, optimizer="lbfgs")
-    if eval_fields:
-        print("after polish:", solver.evaluate(*eval_fields), file=sys.stderr)
-    # save OUTSIDE the config's checkpoint_dir: an unattended-run watchdog
-    # resumes from the newest ckpt there and must never pick up a polish
-    # experiment's state
-    out = solver.save(f"model_lbfgs_polish_{int(n_steps)}.ckpt",
-                      directory="artifacts/lbfgs")
-    print(f"saved {out}", file=sys.stderr)
+    # Segmented polish: the vis_t carry is frozen inside an L-BFGS stage
+    # (stationary objective for the line search) — re-anchor it to the
+    # updated EVM net between segments, evaluating + saving each time.
+    seg = int(os.environ.get("POLISH_SEG", 5000))
+    done = 0
+    while done < int(n_steps):
+        n = min(seg, int(n_steps) - done)
+        solver.train(num_epoch=n, lr=1.0, optimizer="lbfgs")
+        done += n
+        solver.refresh_vis_t()
+        if eval_fields:
+            print(f"after {done} polish steps:",
+                  solver.evaluate(*eval_fields), file=sys.stderr)
+        # save OUTSIDE the config's checkpoint_dir: an unattended-run
+        # watchdog resumes from the newest ckpt there and must never pick
+        # up a polish experiment's state
+        out = solver.save(f"model_lbfgs_polish_{done}.ckpt",
+                          directory="artifacts/lbfgs")
+        print(f"saved {out}", file=sys.stderr)
     return 0
 
 

@@ -192,6 +192,25 @@ def test_lbfgs_polish_reduces_loss():
     assert after < before
 
 
+def test_lbfgs_chunking_invariant():
+    """Splitting the L-BFGS scan into bounded device dispatches (TPU
+    watchdog limit) must not change the optimizer trajectory: the chunk
+    boundary only moves (params, opt_state) host-side between dispatches."""
+    import jax.numpy as jnp
+
+    from nsfnet_tpu.training.lbfgs import run_lbfgs
+
+    def loss(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum(jnp.sin(p["w"]) ** 2)
+
+    p0 = {"w": jnp.arange(6, dtype=jnp.float32) / 7.0}
+    p_one, h_one = run_lbfgs(loss, p0, n_steps=12, max_chunk=12)
+    p_chk, h_chk = run_lbfgs(loss, p0, n_steps=12, max_chunk=4)
+    np.testing.assert_allclose(np.asarray(h_one), np.asarray(h_chk), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_one["w"]), np.asarray(p_chk["w"]),
+                               rtol=1e-6)
+
+
 def test_kan_backbone_trains():
     solver = _make_solver(backbone="kan", kan_width=(2, 8, 8), evm=False,
                           layers_1=None)
