@@ -43,7 +43,7 @@ class TrainingStage:
     epochs: int
     lr: float
     name: str = "Stage"
-    optimizer: str = "adam"  # adam | lbfgs (L-BFGS polish stages)
+    optimizer: str = "adam"  # adam | lbfgs | lm (polish stages)
 
 
 @dataclass
@@ -187,7 +187,7 @@ class ConfigManager:
         if c.model_variant not in ("nsfnet", "ev-nsfnet", "kan"):
             warnings.append(f"unknown model_variant {c.model_variant!r}")
         for i, st in enumerate(c.training.training_stages, 1):
-            if st.optimizer not in ("adam", "lbfgs"):
+            if st.optimizer not in ("adam", "lbfgs", "lm"):
                 warnings.append(f"unknown stage optimizer {st.optimizer!r}")
             if st.epochs <= 0:
                 warnings.append(f"stage {i} ({st.name}): epochs must be > 0")

@@ -439,6 +439,8 @@ class PINNSolver:
         self.current_alpha_b = float(bc_weight) if bc_weight is not None else self.alpha_b
         if optimizer == "lbfgs":
             return self.train_lbfgs(num_epoch)
+        if optimizer == "lm":
+            return self.train_lm(num_epoch)
         self._ensure_ready()
         self.current_lr = lr
         sc = self._stage_scalars(lr)
@@ -532,6 +534,57 @@ class PINNSolver:
             h = jax.device_get(history)
             self.logger.info(
                 f"[L-BFGS] {num_steps} steps in {time.time()-t0:.1f}s  "
+                f"loss {h[0]:.3e} -> {h[-1]:.3e}")
+        return self.state
+
+    def train_lm(self, num_steps: int, cg_iters: int = 50):
+        """Levenberg-Marquardt (matrix-free Gauss-Newton-CG) polish.
+
+        Exploits the least-squares loss structure; converges past the
+        fp32 full-batch L-BFGS stall (see training/lm.py). vis_t frozen,
+        like the L-BFGS stage."""
+        self._ensure_ready()
+        from nsfnet_tpu.training.lm import run_lm
+        from nsfnet_tpu.training.step import make_residual_fn
+
+        residual = make_residual_fn(
+            engine=self._engine("xla"),
+            apply_main=self.net.apply,
+            apply_evm=(self.net_1.apply if self.evm else None),
+            coord_scale=self.coord_scale,
+            alpha_e=self.alpha_e,
+            alpha_s=self.alpha_s,
+            entropy_weight=self.entropy_residual_weight,
+            evm=self.evm,
+        )
+        batch, vtm = self._batch, self.state.vis_t_minus
+        sc = self._stage_scalars(1.0)
+
+        def res(params_all):
+            return residual(params_all, batch, vtm, sc)
+
+        t0 = time.time()
+
+        def _progress(done, last_loss, lam):
+            if self.rank == 0:
+                self.logger.info(
+                    f"[LM] step {done}/{num_steps}  loss={last_loss:.3e}  "
+                    f"lam={lam:.1e}  "
+                    f"({done / max(time.time() - t0, 1e-9):.2f} it/s)")
+
+        # one LM step ~= 2*cg_iters+4 residual-grad evals per dispatch step
+        (new_params, new_evm), history, _lam = run_lm(
+            res, (self.state.params, self.state.params_evm),
+            n_steps=num_steps, cg_iters=cg_iters,
+            matmul_precision=self.matmul_precision,
+            max_chunk=max(1, self.max_chunk // (2 * cg_iters + 4)),
+            progress=_progress)
+        self.state = self.state._replace(params=new_params, params_evm=new_evm)
+        self.global_step += int(history.shape[0])
+        if self.rank == 0:
+            h = jax.device_get(history)
+            self.logger.info(
+                f"[LM] {num_steps} steps in {time.time()-t0:.1f}s  "
                 f"loss {h[0]:.3e} -> {h[-1]:.3e}")
         return self.state
 

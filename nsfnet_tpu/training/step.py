@@ -161,6 +161,65 @@ def make_loss_fn(
     return loss_fn
 
 
+def make_residual_fn(
+    engine: Engine,
+    apply_main: Callable,
+    apply_evm: Optional[Callable],
+    coord_scale: float,
+    alpha_e: float,
+    alpha_s: float,
+    entropy_weight: float = 0.1,
+    evm: bool = True,
+):
+    """Flat weighted-residual vector r(params) with sum(r^2) == the MSE
+    loss total, exactly (same masks/counts/weights as make_loss_fn).
+
+    This is the least-squares structure Gauss-Newton / Levenberg-Marquardt
+    exploits (training/lm.py): r stacks sqrt(alpha/count)-scaled equation,
+    boundary, and supervised residuals; pad rows carry weight 0 so they
+    contribute zero rows to the Jacobian. Single-program (no collectives),
+    MSE mode only."""
+
+    def residual_fn(params_all, batch: Batch, vis_t_minus, sc: StageScalars):
+        params, params_evm = params_all
+        re = sc.re
+        vis_t0 = 20.0 / re
+        x_eq = jnp.concatenate([batch.x_f, batch.y_f], axis=1)
+        derivs = engine(params, x_eq)
+        if evm:
+            e = apply_evm(params_evm, x_eq)[:, 0:1]
+            vis_t = R.next_vis_t(vis_t_minus, vis_t0)
+            res = R.ev_ns_residuals(derivs, e, vis_t, re, coord_scale)
+        else:
+            res = R.ns_residuals(derivs, re, coord_scale)
+        sw = jnp.sqrt(batch.eq_w * (alpha_e / batch.n_f))
+        parts = [sw * res.eq1, sw * res.eq2, sw * res.eq3]
+        if evm and res.eq4 is not None:
+            parts.append(jnp.sqrt(jnp.asarray(entropy_weight)) * sw * res.eq4)
+
+        x_bc = jnp.concatenate([batch.x_b, batch.y_b], axis=1)
+        uvp_b = apply_main(params, x_bc)
+        bw = jnp.sqrt(batch.b_mask * (sc.alpha_b / batch.n_b))
+        parts += [bw * (uvp_b[:, 0:1] - batch.u_b),
+                  bw * (uvp_b[:, 1:2] - batch.v_b)]
+
+        if batch.x_s is not None:
+            x_sup = jnp.concatenate([batch.x_s, batch.y_s], axis=1)
+            uvp_s = apply_main(params, x_sup)
+            suw = jnp.sqrt(batch.s_mask * (alpha_s / batch.n_s))
+            parts += [suw * (uvp_s[:, 0:1] - batch.u_s),
+                      suw * (uvp_s[:, 1:2] - batch.v_s)]
+            if batch.p_s is not None and batch.p_mask is not None:
+                pw = jnp.sqrt(batch.p_mask
+                              * (alpha_s / jnp.maximum(batch.n_p, 1.0)))
+                p_t = jnp.where(batch.p_mask > 0, batch.p_s, 0.0)
+                p_p = jnp.where(batch.p_mask > 0, uvp_s[:, 2:3], 0.0)
+                parts.append(pw * (p_p - p_t))
+        return jnp.concatenate([p.reshape(-1) for p in parts])
+
+    return residual_fn
+
+
 def make_train_step(
     loss_fn,
     tx_main: optax.GradientTransformation,

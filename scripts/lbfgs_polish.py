@@ -48,10 +48,11 @@ def main(config_path, ckpt, n_steps=200, cpu=False):
     # (stationary objective for the line search) — re-anchor it to the
     # updated EVM net between segments, evaluating + saving each time.
     seg = int(os.environ.get("POLISH_SEG", 5000))
+    opt = os.environ.get("POLISH_OPT", "lbfgs")  # lbfgs | lm
     done = 0
     while done < int(n_steps):
         n = min(seg, int(n_steps) - done)
-        solver.train(num_epoch=n, lr=1.0, optimizer="lbfgs")
+        solver.train(num_epoch=n, lr=1.0, optimizer=opt)
         done += n
         solver.refresh_vis_t()
         if eval_fields:
@@ -60,7 +61,7 @@ def main(config_path, ckpt, n_steps=200, cpu=False):
         # save OUTSIDE the config's checkpoint_dir: an unattended-run
         # watchdog resumes from the newest ckpt there and must never pick
         # up a polish experiment's state
-        out = solver.save(f"model_lbfgs_polish_{done}.ckpt",
+        out = solver.save(f"model_polish_{opt}_{done}.ckpt",
                           directory="artifacts/lbfgs")
         print(f"saved {out}", file=sys.stderr)
     return 0

@@ -192,6 +192,48 @@ def test_lbfgs_polish_reduces_loss():
     assert after < before
 
 
+def test_residual_fn_matches_loss():
+    """sum(r^2) of the LM residual vector must equal the MSE loss total
+    exactly (same masks/counts/weights), with supervision active."""
+    from nsfnet_tpu.training.step import make_residual_fn
+
+    solver = _make_solver()
+    _attach_data(solver)
+    # supervised points incl. a NaN p row (reference's isfinite masking)
+    xs = np.array([[0.3], [0.6], [0.8]], np.float32)
+    ys = np.array([[0.4], [0.5], [0.2]], np.float32)
+    us = np.array([[0.1], [0.2], [0.3]], np.float32)
+    vs = np.array([[0.0], [0.1], [0.2]], np.float32)
+    ps = np.array([[0.5], [np.nan], [0.7]], np.float32)
+    solver.set_supervised_data((xs, ys, us, vs, ps))
+    solver.set_supervised_loss_weight(2.0)
+    solver.train(num_epoch=3, lr=1e-3)  # move off init
+    solver._ensure_ready()
+
+    residual = make_residual_fn(
+        engine=solver._engine("xla"), apply_main=solver.net.apply,
+        apply_evm=solver.net_1.apply, coord_scale=solver.coord_scale,
+        alpha_e=solver.alpha_e, alpha_s=solver.alpha_s,
+        entropy_weight=solver.entropy_residual_weight, evm=True)
+    params_all = (solver.state.params, solver.state.params_evm)
+    sc = solver._stage_scalars(0.0)
+    r = residual(params_all, solver._batch, solver.state.vis_t_minus, sc)
+    total, _ = solver._loss_fn(params_all, solver._batch,
+                               solver.state.vis_t_minus, sc)
+    np.testing.assert_allclose(float(jnp.sum(r * r)), float(total),
+                               rtol=1e-5)
+
+
+def test_lm_polish_reduces_loss():
+    solver = _make_solver()
+    _attach_data(solver)
+    solver.train(num_epoch=50, lr=1e-3)
+    before = _loss_of(solver)
+    solver.train(num_epoch=8, optimizer="lm")
+    after = _loss_of(solver)
+    assert after < before
+
+
 def test_lbfgs_chunking_invariant():
     """Splitting the L-BFGS scan into bounded device dispatches (TPU
     watchdog limit) must not change the optimizer trajectory: the chunk
