@@ -72,6 +72,37 @@ def param_count(params: Params) -> int:
     return sum(int(w.size) + int(b.size) for w, b in params)
 
 
+def widen_mlp_params(params: Params, new_hidden: int, key: jax.Array,
+                     scale: float = 1e-2) -> Params:
+    """Function-preserving width increase (Net2Net-style).
+
+    New hidden units get small random INCOMING weights (so they carry
+    distinct activations from step one) and exactly ZERO outgoing weights
+    into pre-existing units and the head — the widened net computes the
+    same function to the last bit, and a second-order optimizer can then
+    recruit the new capacity. Used by the capacity-probe experiment
+    (scripts/widen_polish.py); no reference counterpart."""
+    old = params
+    n_layers = len(old)
+    out: list = []
+    for li, (w, b) in enumerate(old):
+        fi, fo = int(w.shape[0]), int(w.shape[1])
+        nfi = fi if li == 0 else new_hidden
+        nfo = fo if li == n_layers - 1 else new_hidden
+        key, k1, k2 = jax.random.split(key, 3)
+        W = jnp.zeros((nfi, nfo), w.dtype).at[:fi, :fo].set(w)
+        if nfo > fo:
+            W = W.at[:fi, fo:].set(
+                scale * jax.random.normal(k1, (fi, nfo - fo), w.dtype))
+            if nfi > fi:
+                W = W.at[fi:, fo:].set(
+                    scale * jax.random.normal(k2, (nfi - fi, nfo - fo), w.dtype))
+        # the [fi:, :fo] block (new units -> old units/head) stays zero
+        B = jnp.zeros((nfo,), b.dtype).at[:fo].set(b)
+        out.append((W, B))
+    return tuple(out)
+
+
 @dataclasses.dataclass(frozen=True)
 class MLP:
     """Thin descriptor bundling an architecture with init/apply.

@@ -180,6 +180,7 @@ class PINNSolver:
         self._sup = None
         self._batch: Optional[Batch] = None
         self._runner = None
+        self._score_jit = None
         self._dirty = True
 
         if net_params:
@@ -252,6 +253,7 @@ class PINNSolver:
         """Chain-rule scale for [0,1]->[-1,1] domains
         (parity: ev-NSFnet/pinn_solver.py:186-192)."""
         self.coord_scale = 1.0 if (scale is None or scale <= 0) else float(scale)
+        self._score_jit = None  # closes over coord_scale
         self._dirty = True
 
     def set_alpha_evm(self, alpha: float):
@@ -622,6 +624,49 @@ class PINNSolver:
         engine = self._engine("xla")
         derivs = engine(self.state.params, pts)
         return ns_residuals(derivs, self.current_re, self.coord_scale).eq3
+
+    def residuals_at(self, x, y, chunk: int = 32768):
+        """Per-point PDE residual magnitude sqrt(eq1²+eq2²+eq3²) at host
+        points, under the CURRENT nets (EVM effective viscosity included
+        when enabled). Chunked into fixed-size padded dispatches (one
+        compile, watchdog-safe). Powers residual-based adaptive resampling
+        (RAR) — no reference counterpart: ev-NSFnet trains one fixed LHS
+        draw for the whole curriculum (ev-NSFnet/pinn_solver.py:160-184)."""
+        from nsfnet_tpu.ops.residuals import ev_ns_residuals, ns_residuals
+
+        if self._score_jit is None:
+            engine = self._engine("xla")
+            evm = self.evm
+            apply_evm = self.net_1.apply if evm else None
+            coord_scale = self.coord_scale
+
+            def _score(params, params_evm, pts, re, alpha_evm):
+                with jax.default_matmul_precision("highest"):
+                    derivs = engine(params, pts)
+                    if evm:
+                        e = apply_evm(params_evm, pts)[:, 0:1]
+                        vis_t = jnp.minimum(20.0 / re, alpha_evm * jnp.abs(e))
+                        r = ev_ns_residuals(derivs, e, vis_t, re, coord_scale)
+                    else:
+                        r = ns_residuals(derivs, re, coord_scale)
+                return jnp.sqrt(r.eq1**2 + r.eq2**2 + r.eq3**2)[:, 0]
+
+            self._score_jit = jax.jit(_score)
+
+        xh = np.asarray(x, np.float32).reshape(-1)
+        yh = np.asarray(y, np.float32).reshape(-1)
+        n = xh.shape[0]
+        out = np.empty((n,), np.float32)
+        re = jnp.float32(self.current_re)
+        al = jnp.float32(self.alpha_evm)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            seg = np.zeros((chunk, 2), np.float32)
+            seg[: hi - lo, 0], seg[: hi - lo, 1] = xh[lo:hi], yh[lo:hi]
+            s = self._score_jit(self.state.params, self.state.params_evm,
+                                jnp.asarray(seg), re, al)
+            out[lo:hi] = np.asarray(s)[: hi - lo]
+        return out
 
     def evaluate(self, x, y, u, v, p):
         """Relative L2 % errors vs DNS (parity: ev-NSFnet/pinn_solver.py:669-693)."""

@@ -34,7 +34,8 @@ def main(config_path, ckpt, cpu=False):
     solver = build_solver(cfg)
     solver.matmul_precision = "highest"
     data = CavityData(N_f=cfg.training.N_f, sort_training_points=False,
-                      sdf_enabled=cfg.training.sdf_weighting.enabled,
+                      sdf_enabled=(cfg.training.sdf_weighting.enabled
+                                   and os.environ.get("POLISH_SDF", "1") != "0"),
                       seed=cfg.training.seed)
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
@@ -49,17 +50,17 @@ def main(config_path, ckpt, cpu=False):
     steps = int(os.environ.get("ANNEAL_STEPS", 3000))
     resample = os.environ.get("ANNEAL_RESAMPLE", "0") == "1"
 
-    for alpha in alphas:
+    for ph, alpha in enumerate(alphas):
         solver.set_alpha_evm(alpha)
         if resample:
             solver.set_eq_training_data(X=data.training_data(),
                                         weights=data.sdf_weights)
         else:
             solver.refresh_vis_t()
-        solver.train(num_epoch=steps, lr=1.0, optimizer="lbfgs")
+        solver.train(num_epoch=steps, lr=1.0, optimizer=os.environ.get("POLISH_OPT", "lbfgs"))
         res = solver.evaluate(*eval_fields)
         print(f"alpha={alpha} resample={resample}: {res}", file=sys.stderr)
-        out = solver.save(f"model_anneal_a{alpha}.ckpt", directory="artifacts/anneal")
+        out = solver.save(f"model_anneal_ph{ph}_a{alpha}.ckpt", directory="artifacts/anneal")
         print(f"saved {out}", file=sys.stderr)
     return 0
 

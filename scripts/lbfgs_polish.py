@@ -32,7 +32,8 @@ def main(config_path, ckpt, n_steps=200, cpu=False):
     # L-BFGS line search needs exact arithmetic: force fp32 matmuls
     solver.matmul_precision = "highest"
     data = CavityData(N_f=cfg.training.N_f, sort_training_points=False,
-                      sdf_enabled=cfg.training.sdf_weighting.enabled,
+                      sdf_enabled=(cfg.training.sdf_weighting.enabled
+                                   and os.environ.get("POLISH_SDF", "1") != "0"),
                       seed=cfg.training.seed)
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)

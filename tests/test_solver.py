@@ -234,6 +234,21 @@ def test_lm_polish_reduces_loss():
     assert after < before
 
 
+def test_widen_mlp_preserves_function():
+    """Net2Net widening keeps the function: new units' outgoing weights
+    are zero, so outputs match up to matmul reduction-order rounding."""
+    from nsfnet_tpu.models.mlp import MLP, widen_mlp_params, mlp_apply
+
+    net = MLP(num_layers=3, hidden_size=16)
+    p = net.init(jax.random.PRNGKey(3))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (37, 2))
+    wide = widen_mlp_params(p, 24, jax.random.PRNGKey(5))
+    assert wide[1][0].shape == (24, 24)
+    assert float(jnp.abs(wide[-1][0][16:, :]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(mlp_apply(p, x)),
+                               np.asarray(mlp_apply(wide, x)), atol=1e-6)
+
+
 def test_lbfgs_chunking_invariant():
     """Splitting the L-BFGS scan into bounded device dispatches (TPU
     watchdog limit) must not change the optimizer trajectory: the chunk
@@ -498,3 +513,27 @@ def test_load_repads_foreign_vis_t(tmp_path):
     np.testing.assert_allclose(np.asarray(s2.state.vis_t_minus), rows)
     s2._ensure_ready()  # must KEEP the restored carry
     np.testing.assert_allclose(np.asarray(s2.state.vis_t_minus), rows)
+
+
+def test_residuals_at_matches_engine_and_chunking():
+    """residuals_at == direct engine residual magnitude (EVM effective
+    viscosity included), and is invariant to the dispatch chunk size
+    (padding must not leak into real outputs)."""
+    from nsfnet_tpu.ops.residuals import ev_ns_residuals
+
+    solver = _make_solver()
+    _attach_data(solver)
+    pts = np.random.RandomState(11).uniform(0.05, 0.95, (301, 2)).astype(np.float32)
+    got = solver.residuals_at(pts[:, 0], pts[:, 1], chunk=128)
+    got_big = solver.residuals_at(pts[:, 0], pts[:, 1], chunk=4096)
+    np.testing.assert_allclose(got, got_big, rtol=1e-6)
+
+    engine = solver._engine("xla")
+    xj = jnp.asarray(pts)
+    derivs = engine(solver.state.params, xj)
+    e = solver.net_1.apply(solver.state.params_evm, xj)[:, 0:1]
+    vis_t = jnp.minimum(20.0 / solver.current_re,
+                        solver.alpha_evm * jnp.abs(e))
+    r = ev_ns_residuals(derivs, e, vis_t, solver.current_re, solver.coord_scale)
+    want = np.asarray(jnp.sqrt(r.eq1**2 + r.eq2**2 + r.eq3**2)[:, 0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
