@@ -77,6 +77,7 @@ class TrainingConfig:
     evm_update_freq: int = 10000  # EVM net trains once per this many steps
     mesh_devices: Optional[int] = None  # None = all local devices
     microbatches: int = 1  # gradient-accumulation microbatches (N_f > HBM)
+    lm_microbatches: int = 1  # LM Gauss-Newton product slicing (memory)
     loss_mode: str = "MSE"  # MSE | L2 (NSFnet/pinn_solver.py:201-218)
     resample_each_stage: bool = False  # draw fresh collocation points per stage
     training_stages: List[TrainingStage] = field(default_factory=lambda: [

@@ -67,6 +67,7 @@ def build_solver(cfg, mesh=None) -> PINNSolver:
         evm_update_freq=cfg.training.evm_update_freq,
         log_interval=cfg.training.log_interval,
         microbatches=cfg.training.microbatches,
+        lm_microbatches=cfg.training.lm_microbatches,
         loss_mode=cfg.training.loss_mode,
         checkpoint_freq=cfg.training.checkpoint_freq,
         checkpoint_path=cfg.training.checkpoint_dir,

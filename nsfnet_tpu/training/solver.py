@@ -97,10 +97,13 @@ class PINNSolver:
         # observed to kill the TPU worker) while still amortizing dispatch
         microbatches: int = 1,  # gradient-accumulation microbatches over the
         # collocation batch (lets N_f exceed per-chip HBM; SURVEY §5.7)
+        lm_microbatches: int = 1,  # LM Gauss-Newton-product slicing (memory;
+        # see train_lm / training/lm.py run_lm_micro)
     ):
         self.fuse_evm = fuse_evm
         self.max_chunk = max_chunk
         self.microbatches = max(1, int(microbatches))
+        self.lm_microbatches = max(1, int(lm_microbatches))
         self.loss_mode = loss_mode
         if loss_mode == "L2" and self.microbatches > 1:
             raise ValueError("L2 loss mode does not compose with microbatching")
@@ -539,14 +542,20 @@ class PINNSolver:
                 f"loss {h[0]:.3e} -> {h[-1]:.3e}")
         return self.state
 
-    def train_lm(self, num_steps: int, cg_iters: int = 50):
+    def train_lm(self, num_steps: int, cg_iters: int = 50,
+                 microbatches: Optional[int] = None):
         """Levenberg-Marquardt (matrix-free Gauss-Newton-CG) polish.
 
         Exploits the least-squares loss structure; converges past the
         fp32 full-batch L-BFGS stall (see training/lm.py). vis_t frozen,
-        like the L-BFGS stage."""
+        like the L-BFGS stage.
+
+        microbatches > 1 computes every Gauss-Newton product as a scan
+        over that many collocation slices (run_lm_micro) — ~K-fold lower
+        peak memory, same math — for nets/batches whose stored
+        linearization exceeds HBM. Defaults to self.lm_microbatches."""
         self._ensure_ready()
-        from nsfnet_tpu.training.lm import run_lm
+        from nsfnet_tpu.training.lm import run_lm, run_lm_micro
         from nsfnet_tpu.training.step import make_residual_fn
 
         residual = make_residual_fn(
@@ -574,13 +583,49 @@ class PINNSolver:
                     f"lam={lam:.1e}  "
                     f"({done / max(time.time() - t0, 1e-9):.2f} it/s)")
 
-        # one LM step ~= 2*cg_iters+4 residual-grad evals per dispatch step
-        (new_params, new_evm), history, _lam = run_lm(
-            res, (self.state.params, self.state.params_evm),
-            n_steps=num_steps, cg_iters=cg_iters,
-            matmul_precision=self.matmul_precision,
-            max_chunk=max(1, self.max_chunk // (2 * cg_iters + 4)),
-            progress=_progress)
+        micro = int(microbatches if microbatches is not None
+                    else self.lm_microbatches)
+        if micro > 1:
+            eq_fn, aux_fn = residual.eq_residual_fn, residual.aux_residual_fn
+            n = int(batch.x_f.shape[0])
+            m = -(-n // micro)
+            pad = micro * m - n
+
+            def stack(a):
+                a = jnp.asarray(a)
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((pad, 1), a.dtype)], axis=0)
+                return a.reshape(micro, m, 1)
+
+            # pad rows carry eq_w=0 -> zero residual rows; global n_f keeps
+            # the row scaling identical to the unsliced vector
+            slices = {"x": stack(batch.x_f), "y": stack(batch.y_f),
+                      "w": stack(batch.eq_w), "v": stack(vtm)}
+            n_f = batch.n_f
+
+            def eq_slice_fn(params_all, sl):
+                return eq_fn(params_all, sl["x"], sl["y"], sl["w"],
+                             sl["v"], n_f, sc)
+
+            def aux_fn_w(params_all):
+                return aux_fn(params_all, batch, sc)
+
+            (new_params, new_evm), history, _lam = run_lm_micro(
+                eq_slice_fn, aux_fn_w, slices,
+                (self.state.params, self.state.params_evm),
+                n_steps=num_steps, cg_iters=cg_iters,
+                matmul_precision=self.matmul_precision,
+                max_chunk=max(1, self.max_chunk // (3 * cg_iters + 8)),
+                progress=_progress)
+        else:
+            # one LM step ~= 2*cg_iters+4 residual-grad evals per dispatch
+            (new_params, new_evm), history, _lam = run_lm(
+                res, (self.state.params, self.state.params_evm),
+                n_steps=num_steps, cg_iters=cg_iters,
+                matmul_precision=self.matmul_precision,
+                max_chunk=max(1, self.max_chunk // (2 * cg_iters + 4)),
+                progress=_progress)
         self.state = self.state._replace(params=new_params, params_evm=new_evm)
         self.global_step += int(history.shape[0])
         if self.rank == 0:

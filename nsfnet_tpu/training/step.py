@@ -180,11 +180,17 @@ def make_residual_fn(
     contribute zero rows to the Jacobian. Single-program (no collectives),
     MSE mode only."""
 
-    def residual_fn(params_all, batch: Batch, vis_t_minus, sc: StageScalars):
+    def eq_residual_fn(params_all, x_f, y_f, eq_w, vis_t_minus, n_f,
+                       sc: StageScalars):
+        """Equation-point rows only, on an arbitrary SLICE of the
+        collocation set. `n_f` is the GLOBAL real-point count (slices must
+        keep the full-batch row scaling so concatenating slice outputs
+        reproduces the full residual vector exactly) — this is what the
+        microbatched Gauss-Newton products scan over (training/lm.py)."""
         params, params_evm = params_all
         re = sc.re
         vis_t0 = 20.0 / re
-        x_eq = jnp.concatenate([batch.x_f, batch.y_f], axis=1)
+        x_eq = jnp.concatenate([x_f, y_f], axis=1)
         derivs = engine(params, x_eq)
         if evm:
             e = apply_evm(params_evm, x_eq)[:, 0:1]
@@ -192,11 +198,16 @@ def make_residual_fn(
             res = R.ev_ns_residuals(derivs, e, vis_t, re, coord_scale)
         else:
             res = R.ns_residuals(derivs, re, coord_scale)
-        sw = jnp.sqrt(batch.eq_w * (alpha_e / batch.n_f))
+        sw = jnp.sqrt(eq_w * (alpha_e / n_f))
         parts = [sw * res.eq1, sw * res.eq2, sw * res.eq3]
         if evm and res.eq4 is not None:
             parts.append(jnp.sqrt(jnp.asarray(entropy_weight)) * sw * res.eq4)
+        return jnp.concatenate([p.reshape(-1) for p in parts])
 
+    def aux_residual_fn(params_all, batch: Batch, sc: StageScalars):
+        """Boundary + supervised rows (small, never sliced)."""
+        params, _ = params_all
+        parts = []
         x_bc = jnp.concatenate([batch.x_b, batch.y_b], axis=1)
         uvp_b = apply_main(params, x_bc)
         bw = jnp.sqrt(batch.b_mask * (sc.alpha_b / batch.n_b))
@@ -217,6 +228,14 @@ def make_residual_fn(
                 parts.append(pw * (p_p - p_t))
         return jnp.concatenate([p.reshape(-1) for p in parts])
 
+    def residual_fn(params_all, batch: Batch, vis_t_minus, sc: StageScalars):
+        r_eq = eq_residual_fn(params_all, batch.x_f, batch.y_f, batch.eq_w,
+                              vis_t_minus, batch.n_f, sc)
+        r_aux = aux_residual_fn(params_all, batch, sc)
+        return jnp.concatenate([r_eq, r_aux])
+
+    residual_fn.eq_residual_fn = eq_residual_fn
+    residual_fn.aux_residual_fn = aux_residual_fn
     return residual_fn
 
 

@@ -537,3 +537,20 @@ def test_residuals_at_matches_engine_and_chunking():
     r = ev_ns_residuals(derivs, e, vis_t, solver.current_re, solver.coord_scale)
     want = np.asarray(jnp.sqrt(r.eq1**2 + r.eq2**2 + r.eq3**2)[:, 0])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_lm_microbatched_matches_full():
+    """run_lm_micro realizes the same Gauss-Newton math as run_lm: from
+    identical states, the loss after a few LM steps agrees to float
+    tolerance (reduction order differs across slices)."""
+    s1 = _make_solver()
+    _attach_data(s1)
+    s2 = _make_solver()
+    _attach_data(s2)
+    s1.train_lm(5, cg_iters=10)
+    s2.train_lm(5, cg_iters=10, microbatches=4)
+    l1, l2 = _loss_of(s1), _loss_of(s2)
+    assert abs(l1 - l2) / max(l1, 1e-30) < 5e-3, (l1, l2)
+    d1 = jnp.concatenate([w.reshape(-1) for w, _ in s1.state.params])
+    d2 = jnp.concatenate([w.reshape(-1) for w, _ in s2.state.params])
+    assert float(jnp.linalg.norm(d1 - d2) / jnp.linalg.norm(d1)) < 5e-3
