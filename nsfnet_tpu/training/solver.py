@@ -599,9 +599,11 @@ class PINNSolver:
                 return a.reshape(micro, m, 1)
 
             # pad rows carry eq_w=0 -> zero residual rows; global n_f keeps
-            # the row scaling identical to the unsliced vector
+            # the row scaling identical to the unsliced vector (vanilla
+            # solvers have no carry: slice zeros, ignored by the residual)
+            vtm_arr = vtm if vtm is not None else jnp.zeros_like(batch.x_f)
             slices = {"x": stack(batch.x_f), "y": stack(batch.y_f),
-                      "w": stack(batch.eq_w), "v": stack(vtm)}
+                      "w": stack(batch.eq_w), "v": stack(vtm_arr)}
             n_f = batch.n_f
 
             def eq_slice_fn(params_all, sl):
@@ -815,7 +817,19 @@ class PINNSolver:
             # trip _build_batch's guard and silently replace the converged
             # carry with a fresh init.
             n_f = self._eq[0].shape[0]
-            rows = np.asarray(vtm)[:n_f]
+            if vtm.shape[0] < n_f:
+                # the writer trained on FEWER collocation points than this
+                # solver holds; padding the carry with the vis_t0 cap would
+                # fabricate maximal eddy viscosity for the missing rows —
+                # recompute the whole carry from the restored EVM net instead
+                self.logger.warning(
+                    "restored vis_t carry has %d rows < current %d "
+                    "collocation points — reinitializing from the restored "
+                    "EVM net" % (vtm.shape[0], n_f))
+                self._init_vis_t()
+                rows = self._vis_t_init
+            else:
+                rows = np.asarray(vtm)[:n_f]
             vtm = pmesh.pad_rows(rows, self._eq_pad_size(n_f), self.vis_t0)
         rep = pmesh.replicated_sharding(self.mesh)
         self.state = self.state._replace(

@@ -49,18 +49,18 @@ def main(config_path, ckpt):
 
     norm = np.sqrt(np.mean(u**2 + v**2))
     print(f"rms velocity err: {np.sqrt(np.mean(err**2)):.5f} "
-          f"(rel {100*np.sqrt(np.mean(err**2))/norm:.2f}%)")
+          f"(rel {100*np.sqrt(np.mean(err**2))/norm:.2f}%)", file=sys.stderr)
     for lab, m in [("wall band d<0.05", d_wall < 0.05),
                    ("band 0.05-0.15", (d_wall >= 0.05) & (d_wall < 0.15)),
                    ("core d>0.15", d_wall >= 0.15)]:
         e = err[m]
         print(f"{lab:18s}: n={m.sum():6d} rms={np.sqrt(np.mean(e**2)):.5f} "
               f"max={e.max():.4f} share_of_sq_err="
-              f"{100*np.sum(e**2)/np.sum(err**2):.1f}%")
+              f"{100*np.sum(e**2)/np.sum(err**2):.1f}%", file=sys.stderr)
     worst = np.argsort(err)[-8:][::-1]
-    print("worst points (x, y, |err|):")
+    print("worst points (x, y, |err|):", file=sys.stderr)
     for i in worst:
-        print(f"  ({xn[i]:.3f}, {yn[i]:.3f})  {err[i]:.4f}")
+        print(f"  ({xn[i]:.3f}, {yn[i]:.3f})  {err[i]:.4f}", file=sys.stderr)
     return 0
 
 

@@ -54,7 +54,8 @@ def main(config_path, ckpt, n_steps=30, cg_iters=30):
 
     residual = make_residual_fn(
         engine=solver._engine("xla"), apply_main=solver.net.apply,
-        apply_evm=solver.net_1.apply, coord_scale=solver.coord_scale,
+        apply_evm=(solver.net_1.apply if solver.evm else None),
+        coord_scale=solver.coord_scale,
         alpha_e=solver.alpha_e, alpha_s=solver.alpha_s,
         entropy_weight=solver.entropy_residual_weight, evm=solver.evm)
 

@@ -554,3 +554,34 @@ def test_lm_microbatched_matches_full():
     d1 = jnp.concatenate([w.reshape(-1) for w, _ in s1.state.params])
     d2 = jnp.concatenate([w.reshape(-1) for w, _ in s2.state.params])
     assert float(jnp.linalg.norm(d1 - d2) / jnp.linalg.norm(d1)) < 5e-3
+
+
+def test_lm_microbatched_vanilla():
+    """micro-LM must work without an EVM carry (vanilla solver)."""
+    solver = _make_solver(evm=False, layers_1=None)
+    _attach_data(solver)
+    before = _loss_of(solver)
+    solver.train_lm(2, cg_iters=5, microbatches=4)
+    assert _loss_of(solver) < before
+
+
+def test_load_short_vis_t_reinitializes(tmp_path):
+    """Loading a checkpoint whose vis_t carry has FEWER rows than the
+    current collocation set must recompute the carry from the restored
+    EVM net, not pad the missing rows with the vis_t0 cap."""
+    small = _make_solver(N_f=128)
+    _attach_data(small, n_f=128)
+    small.train(num_epoch=3, lr=1e-3)
+    path = small.save("short.ckpt", directory=str(tmp_path))
+
+    big = _make_solver(N_f=1024)
+    _attach_data(big, n_f=1024)
+    big.load(path)
+    vtm = np.asarray(big.state.vis_t_minus)
+    n_f = big._eq[0].shape[0]
+    # real rows must NOT be saturated at the cap the padding would fabricate
+    assert float(np.max(vtm[:n_f])) < big.vis_t0 - 1e-9
+    # and must equal alpha_evm * |e| from the restored EVM net
+    x = np.concatenate(big._eq, axis=1)
+    e = np.asarray(big.net_1.apply(big.state.params_evm, jnp.asarray(x)))[:, 0:1]
+    np.testing.assert_allclose(vtm[:n_f], big.alpha_evm * np.abs(e), rtol=1e-5)
