@@ -65,9 +65,21 @@ def bspline_basis_derivs(x: jax.Array, grid: int, k: int,
     lo, hi = grid_range
     h = (hi - lo) / grid
     t = _knots(grid, k, grid_range, dtype=x.dtype)
-    b_k = _cox_de_boor(x, t, k)            # [..., grid + k]
-    b_k1 = _cox_de_boor(x, t, k - 1)       # [..., grid + k + 1]
-    b_k2 = _cox_de_boor(x, t, k - 2)       # [..., grid + k + 2]
+    # ONE degree-k recursion: the degree k-2 and k-1 bases the derivative
+    # differences need are loop intermediates, not separate recursions
+    xe = x[..., None]
+    b = ((xe >= t[:-1]) & (xe < t[1:])).astype(x.dtype)
+    b_k2 = b if k == 2 else None
+    b_k1 = None
+    for d in range(1, k + 1):
+        left = (xe - t[: -(d + 1)]) / (t[d:-1] - t[: -(d + 1)]) * b[..., :-1]
+        right = (t[d + 1:] - xe) / (t[d + 1:] - t[1:-d]) * b[..., 1:]
+        b = left + right
+        if d == k - 2:
+            b_k2 = b
+        elif d == k - 1:
+            b_k1 = b
+    b_k = b                                # [..., grid + k]
     db = (b_k1[..., :-1] - b_k1[..., 1:]) / h
     d2b = (b_k2[..., :-2] - 2.0 * b_k2[..., 1:-1] + b_k2[..., 2:]) / (h * h)
     return b_k, db, d2b
