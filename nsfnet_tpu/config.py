@@ -31,6 +31,8 @@ class NetworkConfig:
     layers_1: int = 4
     hidden_size: int = 80
     hidden_size_1: int = 40
+    fourier_features: int = 0   # random Fourier input embedding (0 = off)
+    fourier_sigma: float = 3.0
     # KAN-specific (physics_informed_kan.ipynb cell 0)
     kan_width: List[int] = field(default_factory=lambda: [2, 16, 16, 8])
     kan_grid: int = 5

@@ -68,6 +68,23 @@ def mlp_apply(params: Params, x: jax.Array) -> jax.Array:
     return h @ w + b
 
 
+def fourier_b_matrix(num_ins: int, num_features: int, sigma: float,
+                     seed: int = 0, dtype=jnp.float32) -> jax.Array:
+    """Fixed (non-trainable) random Fourier projection B ~ N(0, sigma^2),
+    deterministic in `seed` so it is reconstructible from config alone —
+    checkpoints stay plain (W, b) tuples."""
+    return sigma * jax.random.normal(
+        jax.random.PRNGKey(seed), (num_ins, num_features), dtype)
+
+
+def fourier_embed(x: jax.Array, b_matrix: jax.Array) -> jax.Array:
+    """[x, sin(2 pi x B), cos(2 pi x B)] input embedding (Tancik et al.) —
+    the standard spectral-bias fix for PINNs on sharp-feature problems.
+    Smooth, so the jvp-of-jvp residual engine differentiates through it."""
+    proj = (2.0 * jnp.pi) * (x @ b_matrix)
+    return jnp.concatenate([x, jnp.sin(proj), jnp.cos(proj)], axis=1)
+
+
 def param_count(params: Params) -> int:
     return sum(int(w.size) + int(b.size) for w, b in params)
 
@@ -116,13 +133,21 @@ class MLP:
     num_layers: int = 6
     hidden_size: int = 80
     init_scheme: str = "torch"
+    fourier_features: int = 0   # random Fourier embedding size m (0 = off);
+    fourier_sigma: float = 3.0  # the net then sees [x, sin/cos(2 pi x B)],
+    fourier_seed: int = 0       # B fixed, reconstructed from config
 
     @property
     def sizes(self) -> Tuple[int, ...]:
-        return layer_sizes(self.num_ins, self.num_outs, self.num_layers, self.hidden_size)
+        n_in = self.num_ins + 2 * self.fourier_features
+        return layer_sizes(n_in, self.num_outs, self.num_layers, self.hidden_size)
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
         return init_mlp(key, self.sizes, dtype=dtype, init=self.init_scheme)
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        if self.fourier_features:
+            b = fourier_b_matrix(self.num_ins, self.fourier_features,
+                                 self.fourier_sigma, self.fourier_seed, x.dtype)
+            x = fourier_embed(x, b)
         return mlp_apply(params, x)

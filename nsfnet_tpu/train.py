@@ -48,6 +48,8 @@ def build_solver(cfg, mesh=None) -> PINNSolver:
         layers_1=cfg.network.layers_1 if variant == "ev-nsfnet" else None,
         hidden_size=cfg.network.hidden_size,
         hidden_size_1=cfg.network.hidden_size_1,
+        fourier_features=cfg.network.fourier_features,
+        fourier_sigma=cfg.network.fourier_sigma,
         N_f=cfg.training.N_f,
         alpha_evm=cfg.physics.alpha_evm,
         bc_weight=cfg.physics.bc_weight,

@@ -99,6 +99,8 @@ class PINNSolver:
         # collocation batch (lets N_f exceed per-chip HBM; SURVEY §5.7)
         lm_microbatches: int = 1,  # LM Gauss-Newton-product slicing (memory;
         # see train_lm / training/lm.py run_lm_micro)
+        fourier_features: int = 0,  # random Fourier input embedding size for
+        fourier_sigma: float = 3.0,  # the main MLP (0 = off; generic engine)
     ):
         self.fuse_evm = fuse_evm
         self.max_chunk = max_chunk
@@ -145,8 +147,15 @@ class PINNSolver:
             self._generic_engine = True
         else:
             self.net = MLP(num_ins=num_ins, num_outs=num_outs,
-                           num_layers=layers, hidden_size=hidden_size)
-            self._generic_engine = False
+                           num_layers=layers, hidden_size=hidden_size,
+                           fourier_features=int(fourier_features),
+                           fourier_sigma=float(fourier_sigma))
+            # the closed-form tanh engine and the Pallas kernel assume a
+            # plain MLP; the Fourier-embedded net runs the generic
+            # jvp-of-jvp engine (sin/cos differentiate through cleanly)
+            self._generic_engine = fourier_features > 0
+            if self._generic_engine and self.engine == "pallas":
+                self.engine = "xla"
         self.backbone = backbone
         params = self.net.init(k_main)
         if self.evm:

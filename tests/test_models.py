@@ -82,3 +82,57 @@ def test_kan_derivatives_vs_finite_difference():
         np.testing.assert_allclose(np.asarray(fxx), fd_xx, rtol=1e-3, atol=1e-4)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_fourier_mlp_derivatives_match_autodiff(x64):
+    """Fourier-embedded MLP under the generic jvp-of-jvp engine must match
+    jax.jacfwd / jax.hessian at float64."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsfnet_tpu.models.mlp import MLP
+    from nsfnet_tpu.ops.derivatives import derivatives_2d
+
+    net = MLP(num_layers=2, hidden_size=12, fourier_features=6,
+              fourier_sigma=1.5)
+    p = net.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (7, 2), jnp.float64)
+    f = lambda z: net.apply(p, z)
+    out, dx, dy, dxx, dyy = derivatives_2d(f, x)
+
+    jac = jax.vmap(jax.jacfwd(lambda z: f(z[None, :])[0]))(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(jac[..., 0]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(jac[..., 1]),
+                               rtol=1e-9, atol=1e-12)
+    hes = jax.vmap(jax.hessian(lambda z: f(z[None, :])[0]))(x)
+    np.testing.assert_allclose(np.asarray(dxx), np.asarray(hes[..., 0, 0]),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dyy), np.asarray(hes[..., 1, 1]),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_fourier_mlp_trains_in_solver():
+    """The solver routes Fourier nets through the generic engine and the
+    loss decreases."""
+    import numpy as np
+
+    from nsfnet_tpu.data.cavity import CavityData
+    from nsfnet_tpu.training.solver import PINNSolver
+
+    s = PINNSolver(Re=100, layers=3, layers_1=2, hidden_size=24,
+                   hidden_size_1=12, N_f=512, alpha_evm=0.03, bc_weight=10,
+                   eq_weight=1, log_interval=10**9, checkpoint_freq=10**9,
+                   seed=7, fourier_features=8)
+    assert s._generic_engine and s.engine != "pallas"
+    data = CavityData(N_f=512, sort_training_points=False, seed=0)
+    s.set_boundary_data(X=data.boundary_data())
+    s.set_eq_training_data(X=data.training_data())
+    s._ensure_ready()
+    loss0, _ = s._loss_fn((s.state.params, s.state.params_evm), s._batch,
+                          s.state.vis_t_minus, s._stage_scalars(0.0))
+    s.train(num_epoch=100, lr=1e-3)
+    loss1, _ = s._loss_fn((s.state.params, s.state.params_evm), s._batch,
+                          s.state.vis_t_minus, s._stage_scalars(0.0))
+    assert float(loss1) < float(loss0)
