@@ -87,3 +87,30 @@ def test_train_driver_end_to_end_and_sweep(tmp_path, monkeypatch):
     assert mats, "sweep should dump .mat result files"
     m = scipy.io.loadmat(mats[0])
     assert "U_pred" in m and "error_u" in m
+
+
+def test_capacity_ladder_driver(tmp_path, monkeypatch):
+    """capacity_ladder.py end-to-end on a tiny config: trains, widens
+    function-preservingly between rungs, checkpoints per round, respects
+    the rung list, and exits 0."""
+    import subprocess
+    import sys
+
+    from nsfnet_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _tiny_config(tmp_path)
+    assert main(_args(cfg)) == 0
+    ckpts = sorted(glob.glob(str(tmp_path / "results" / "**" / "*.ckpt"),
+                             recursive=True), key=os.path.getmtime)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "capacity_ladder.py"),
+         cfg, ckpts[-1], "--rungs", "16:1,20:1", "--steps", "4",
+         "--micro", "2", "--cpu"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rung h=16 installed" in r.stderr
+    assert "rung h=20 installed" in r.stderr
+    saved = glob.glob(str(tmp_path / "artifacts" / "ladder" / "*.ckpt"))
+    assert len(saved) == 2, saved
