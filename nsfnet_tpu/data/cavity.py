@@ -75,6 +75,33 @@ class CavityData:
         # first draw stays reproducible from `seed`
         self.pts_bc: Optional[np.ndarray] = None
         self.sdf_weights: Optional[np.ndarray] = None
+        self._pre_draw_rng_state = self._rng.bit_generator.state
+
+    # ------------------------------------------------ sampler checkpointing
+    # (SURVEY §5.4 full-state resume: a watchdog restart during a
+    # resample-each-stage campaign must replay the IDENTICAL point sequence)
+
+    def get_state(self) -> dict:
+        """Sampler state as of the most recent draw: after `set_state(s)`,
+        the next `training_data()` call reproduces the most recent draw
+        bit-exactly and the stream continues identically thereafter."""
+        return {
+            "draws_next": max(self._draws - 1, 0),
+            "native_seed": int(self._native_seed),
+            "rng_state": self._pre_draw_rng_state,
+        }
+
+    def set_state(self, s: dict) -> None:
+        self._draws = int(s["draws_next"])
+        self._native_seed = int(s["native_seed"])
+        if s.get("rng_state") is not None:
+            st = dict(s["rng_state"])
+            # JSON roundtrips tuples to lists; numpy accepts the dict form
+            if isinstance(st.get("state"), dict):
+                st["state"] = {k: int(v) if isinstance(v, (int, float)) else v
+                               for k, v in st["state"].items()}
+            self._rng.bit_generator.state = st
+            self._pre_draw_rng_state = st
 
     @property
     def coord_scale(self) -> float:
@@ -113,6 +140,7 @@ class CavityData:
 
         go_native = self.use_native and native.available()
         bounds = [[0.0, 1.0], [0.0, 1.0]]  # generation frame: unit square
+        self._pre_draw_rng_state = self._rng.bit_generator.state
         if go_native:
             xye = native.lh_sample(self.N_f, bounds,
                                    self._native_seed + 7919 * self._draws)

@@ -72,9 +72,15 @@ def fourier_b_matrix(num_ins: int, num_features: int, sigma: float,
                      seed: int = 0, dtype=jnp.float32) -> jax.Array:
     """Fixed (non-trainable) random Fourier projection B ~ N(0, sigma^2),
     deterministic in `seed` so it is reconstructible from config alone —
-    checkpoints stay plain (W, b) tuples."""
-    return sigma * jax.random.normal(
-        jax.random.PRNGKey(seed), (num_ins, num_features), dtype)
+    checkpoints stay plain (W, b) tuples.
+
+    Always sampled at float32 then cast: JAX draws different bit-streams
+    per dtype, so sampling at x.dtype would silently change the embedding
+    (and hence the network) when a checkpoint is applied at float64
+    (e.g. scripts/lm_fp64_probe.py)."""
+    b = sigma * jax.random.normal(
+        jax.random.PRNGKey(seed), (num_ins, num_features), jnp.float32)
+    return b.astype(dtype)
 
 
 def fourier_embed(x: jax.Array, b_matrix: jax.Array) -> jax.Array:

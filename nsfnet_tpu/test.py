@@ -42,8 +42,15 @@ def main():
     cfg = cm.config
     logger = get_logger(cfg.experiment_name + "_sweep")
 
+    # Mirror the TRAINING config exactly (sort/SDF/seed) so the restore
+    # template matches the run being swept — see VERDICT r2 weak #6.
     data = CavityData(N_f=cfg.training.N_f,
-                      coord_transform=cfg.training.coordinate_transform)
+                      sort_training_points=cfg.training.sort_training_points,
+                      sdf_enabled=cfg.training.sdf_weighting.enabled,
+                      sdf_min_weight=cfg.training.sdf_weighting.min_weight,
+                      sdf_decay=cfg.training.sdf_weighting.decay,
+                      coord_transform=cfg.training.coordinate_transform,
+                      seed=cfg.training.seed)
     data.boundary_data()  # fixes the coordinate frame
     if not cfg.eval_data or not os.path.exists(cfg.eval_data):
         logger.error(f"eval data missing: {cfg.eval_data!r}")

@@ -129,6 +129,7 @@ def main(argv=None):
         coord_transform=cfg.training.coordinate_transform,
         seed=cfg.training.seed,
     )
+    solver.attach_dataset(data)
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
     solver.set_coordinate_transform(data.coord_scale)
@@ -157,7 +158,21 @@ def main(argv=None):
         solver.set_supervised_loss_weight(0.0)
 
     start_step = 0
+    sampler_replayed = False
     if args.resume:
+        # Sampler state must be restored BEFORE load(): the replayed current
+        # point set goes in first (set_eq_training_data resets the vis_t
+        # carry), then load() installs the checkpointed carry that matches
+        # those exact points — bit-exact resume even mid-resample-campaign.
+        from nsfnet_tpu.training import checkpoint as ckpt_mod
+
+        meta = ckpt_mod.load_metadata(args.resume)
+        if meta and meta.get("sampler") is not None:
+            data.set_state(meta["sampler"])
+            solver.set_eq_training_data(X=data.training_data(),
+                                        weights=data.sdf_weights)
+            sampler_replayed = True
+            logger.info("sampler state restored; collocation points replayed")
         solver.load(args.resume)
         start_step = solver.global_step
         logger.info(f"resumed from {args.resume} at step {start_step}")
@@ -167,6 +182,7 @@ def main(argv=None):
     logger.info(f"training: total epochs={total:,} over {len(stages)} stages")
     cum = 0
     for i, st in enumerate(stages):
+        stage_start_epochs = cum
         stage_end = cum + st.epochs
         if start_step >= stage_end:
             cum = stage_end
@@ -176,19 +192,29 @@ def main(argv=None):
         logger.stage(st.name, st.alpha, epochs, st.lr)
         solver.current_stage = st.name
         solver.set_alpha_evm(st.alpha)
-        if cfg.training.resample_each_stage and i > 0:
+        # a mid-stage resume keeps the stage's existing points (replayed from
+        # sampler metadata when present) — resampling here would train the
+        # remainder on a different draw
+        resumed_mid_stage = bool(args.resume) and start_step > stage_start_epochs \
+            and st.optimizer == "adam"
+        if cfg.training.resample_each_stage and i > 0 and not resumed_mid_stage:
             # fresh Latin-Hypercube draw per stage (extension; the reference
             # keeps one fixed point set for the whole run). Same shapes ->
             # no recompilation.
             solver.set_eq_training_data(X=data.training_data(),
                                         weights=data.sdf_weights)
+        # mid-stage resume trains the FULL stage length starting at the
+        # restored epoch_in_stage so the EVM freeze phase stays aligned
+        n_epoch = st.epochs if resumed_mid_stage else epochs
         if i == 0 and args.profile:
             from nsfnet_tpu.utils.profiling import xla_trace
 
             with xla_trace(args.profile):
-                solver.train(num_epoch=epochs, lr=st.lr, optimizer=st.optimizer)
+                solver.train(num_epoch=n_epoch, lr=st.lr, optimizer=st.optimizer,
+                             resume_in_stage=resumed_mid_stage)
         else:
-            solver.train(num_epoch=epochs, lr=st.lr, optimizer=st.optimizer)
+            solver.train(num_epoch=n_epoch, lr=st.lr, optimizer=st.optimizer,
+                         resume_in_stage=resumed_mid_stage)
         if eval_fields:
             solver.evaluate(*eval_fields)
     logger.header("Training Completed")

@@ -443,12 +443,16 @@ class PINNSolver:
 
     def train(self, num_epoch: int = 1, lr: float = 1e-4, optimizer: str = "adam",
               Re: Optional[float] = None, bc_weight: Optional[float] = None,
-              **_compat):
+              resume_in_stage: bool = False, **_compat):
         """One training stage: num_epoch full-batch steps at fixed lr
         (parity: ev-NSFnet/pinn_solver.py:430-487). Extensions:
         optimizer='lbfgs' runs the L-BFGS polish; Re / bc_weight override
         the physics per stage (staged-Re curriculum, boundary-weight
-        annealing) without recompiling."""
+        annealing) without recompiling; resume_in_stage=True continues a
+        restored checkpoint mid-stage — num_epoch is then the FULL stage
+        length and training starts at the restored epoch_in_stage, keeping
+        the EVM alternating-freeze phase (epoch %% evm_update_freq)
+        bit-identical to the uninterrupted run."""
         self.current_re = float(Re) if Re is not None else self.Re
         self.current_alpha_b = float(bc_weight) if bc_weight is not None else self.alpha_b
         if optimizer == "lbfgs":
@@ -458,15 +462,16 @@ class PINNSolver:
         self._ensure_ready()
         self.current_lr = lr
         sc = self._stage_scalars(lr)
-        self.state = self.state._replace(epoch_in_stage=jnp.zeros((), jnp.int32))
+        if not resume_in_stage:
+            self.state = self.state._replace(epoch_in_stage=jnp.zeros((), jnp.int32))
 
         if not hasattr(self, "cumulative_start_time"):
             self.cumulative_start_time = time.time()
         stage_start = time.time()
-        last_log_t, last_log_e = stage_start, 0
+        done = int(self.state.epoch_in_stage) if resume_in_stage else 0
+        last_log_t, last_log_e = stage_start, done
 
         pts_per_step = int(self._batch.x_f.shape[0] + self._batch.x_b.shape[0])
-        done = 0
         last_ckpt: Optional[str] = None
         crashes = 0
         while done < num_epoch:
@@ -781,6 +786,13 @@ class PINNSolver:
 
     # ---------------------------------------------------------- persistence
 
+    def attach_dataset(self, dataset) -> None:
+        """Register the collocation sampler (CavityData) so its draw state
+        rides along in checkpoint metadata — a watchdog resume during a
+        resample-each-stage / LM-resample campaign then replays the
+        identical point sequence (SURVEY §5.4)."""
+        self.dataset = dataset
+
     def _ckpt_dir(self) -> str:
         """Directory-name parity with ev-NSFnet/pinn_solver.py:742-747."""
         nn = f"{self.layers}x{self.hidden_size}_Nf{int(self.N_f/1000)}k"
@@ -794,12 +806,16 @@ class PINNSolver:
         path = os.path.join(directory or self._ckpt_dir(), filename)
         if self.rank != 0:
             return path
-        ckpt.save_state(path, self.state, metadata={
+        meta = {
             "global_step": self.global_step,
             "Re": self.Re,
             "alpha_evm": self.alpha_evm,
             "stage": self.current_stage,
-        })
+        }
+        ds = getattr(self, "dataset", None)
+        if ds is not None:
+            meta["sampler"] = ds.get_state()
+        ckpt.save_state(path, self.state, metadata=meta)
         if self._loss_history:
             import scipy.io
 

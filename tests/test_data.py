@@ -127,3 +127,31 @@ def test_repeated_training_data_draws_fresh_points():
         d2.boundary_data()
         x1b, _ = d2.training_data()
         np.testing.assert_array_equal(x1, x1b)
+
+
+def test_sampler_state_roundtrip_replays_draw_sequence():
+    # SURVEY §5.4: sampler state in checkpoint metadata — restoring the
+    # state as of draw k must replay draw k bit-exactly and continue the
+    # stream identically (watchdog resume mid-resample-campaign)
+    import json
+
+    for use_native in (True, False):
+        d = CavityData(N_f=96, sort_training_points=False, seed=11,
+                       use_native=use_native)
+        d.boundary_data()
+        d.training_data()               # draw 0
+        x2, y2 = d.training_data()      # draw 1  <- "current" points
+        state = d.get_state()
+        state = json.loads(json.dumps(state))  # must survive the JSON sidecar
+        x3, y3 = d.training_data()      # draw 2
+
+        d2 = CavityData(N_f=96, sort_training_points=False, seed=None,
+                        use_native=use_native)
+        d2.boundary_data()
+        d2.set_state(state)
+        x2b, y2b = d2.training_data()   # replays draw 1
+        x3b, y3b = d2.training_data()   # continues to draw 2
+        np.testing.assert_array_equal(x2, x2b)
+        np.testing.assert_array_equal(y2, y2b)
+        np.testing.assert_array_equal(x3, x3b)
+        np.testing.assert_array_equal(y3, y3b)

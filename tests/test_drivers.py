@@ -114,3 +114,93 @@ def test_capacity_ladder_driver(tmp_path, monkeypatch):
     assert "rung h=20 installed" in r.stderr
     saved = glob.glob(str(tmp_path / "artifacts" / "ladder" / "*.ckpt"))
     assert len(saved) == 2, saved
+
+
+def _resume_config(tmp_path, name, ckpt_dir):
+    """3-stage resampling config with a mid-stage checkpoint cadence and a
+    small evm_update_freq so the alternating-freeze phase is exercised."""
+    mat = str(tmp_path / "dns.mat")
+    if not os.path.exists(mat):
+        _write_dns_mat(mat)
+    text = textwrap.dedent(f"""
+        experiment_name: resume_{name}
+        model_variant: ev-nsfnet
+        physics: {{Re: 100, alpha_evm: 0.03}}
+        network: {{layers: 2, layers_1: 2, hidden_size: 12, hidden_size_1: 8}}
+        eval_data: {mat}
+        training:
+          N_f: 128
+          seed: 5
+          log_interval: 1000
+          enable_tensorboard: false
+          sort_training_points: false
+          resample_each_stage: true
+          evm_update_freq: 10
+          checkpoint_freq: 25
+          checkpoint_dir: {ckpt_dir}
+          training_stages:
+            - {{alpha: 0.03, epochs: 25, lr: 1.0e-3, name: S1}}
+            - {{alpha: 0.02, epochs: 50, lr: 5.0e-4, name: S2}}
+            - {{alpha: 0.01, epochs: 25, lr: 1.0e-4, name: S3}}
+    """)
+    p = tmp_path / f"resume_{name}.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+def _ckpt_at_step(run_dir, step):
+    from nsfnet_tpu.training import checkpoint as ckpt_mod
+
+    for c in glob.glob(os.path.join(run_dir, "**", "*.ckpt"), recursive=True):
+        meta = ckpt_mod.load_metadata(c)
+        if meta and meta.get("global_step") == step:
+            return c
+    raise AssertionError(f"no checkpoint at step {step} under {run_dir}")
+
+
+def _load_final_state(cfg_path, run_dir, step):
+    from nsfnet_tpu.config import ConfigManager
+    from nsfnet_tpu.data.cavity import CavityData
+    from nsfnet_tpu.train import build_solver
+
+    cfg = ConfigManager.from_file(cfg_path).config
+    solver = build_solver(cfg)
+    data = CavityData(N_f=cfg.training.N_f, sort_training_points=False,
+                      seed=cfg.training.seed)
+    solver.set_boundary_data(X=data.boundary_data())
+    solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    solver.load(_ckpt_at_step(run_dir, step))
+    return solver.state
+
+
+def test_resume_mid_stage_bit_exact_with_resampling(tmp_path, monkeypatch):
+    """Watchdog kill-and-resume mid-stage during a resample-each-stage
+    campaign reproduces the uninterrupted run bit-exactly: the resumed
+    stage replays the writer's exact collocation draw (sampler state from
+    checkpoint metadata), later stages continue the draw sequence, and the
+    EVM alternating-freeze phase stays aligned (resume_in_stage) —
+    VERDICT r2 missing #5 / SURVEY §5.4."""
+    import jax
+
+    from nsfnet_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    dir_a, dir_b = str(tmp_path / "run_a"), str(tmp_path / "run_b")
+    cfg_a = _resume_config(tmp_path, "a", dir_a)
+    cfg_b = _resume_config(tmp_path, "b", dir_b)
+
+    assert main(_args(cfg_a)) == 0  # uninterrupted run: steps 1..100
+    # resume run: from the MID-S2 checkpoint (global step 50, S2 epoch 25 of
+    # 50 — written after S2's resample, so replay actually matters)
+    mid = _ckpt_at_step(dir_a, 50)
+    assert main(_args(cfg_b, resume=mid)) == 0
+
+    state_a = _load_final_state(cfg_a, dir_a, 100)
+    state_b = _load_final_state(cfg_b, dir_b, 100)
+    for name in ("params", "params_evm", "vis_t_minus"):
+        la = jax.tree_util.tree_leaves(getattr(state_a, name))
+        lb = jax.tree_util.tree_leaves(getattr(state_b, name))
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
