@@ -66,6 +66,14 @@ def run_lbfgs(
         return params_out, state_out, history
 
     opt_state = jax.jit(opt.init)(params)
+    overshoot = n_chunks * chunk - int(n_steps)
+    if overshoot:
+        from nsfnet_tpu.logger import get_logger
+
+        get_logger().info(
+            f"lbfgs/lm: running {n_chunks * chunk} steps "
+            f"({overshoot} over the requested {int(n_steps)}: fixed "
+            f"{chunk}-step chunks compile once)")
     hists = []
     for i in range(n_chunks):
         params, opt_state, hist = run_chunk(params, opt_state)

@@ -74,6 +74,7 @@ class PINNSolver:
         num_outs: int = 3,
         num_outs_1: int = 1,
         net_params: Optional[str] = None,
+        net_params_1: Optional[str] = None,
         checkpoint_freq: int = 10000,
         checkpoint_path: str = "./results",
         evm: bool = True,
@@ -195,8 +196,17 @@ class PINNSolver:
         self._score_jit = None
         self._dirty = True
 
-        if net_params:
+        if net_params and net_params.endswith(".pth"):
+            # reference-format torch state_dict(s): net_params is the main
+            # net, net_params_1 (or the reference's '<file>_evm' sibling)
+            # the EVM net (ev-NSFnet/pinn_solver.py:108-120, 755-759)
+            self.load_torch(net_params, net_params_1)
+        elif net_params:
             self.load(net_params)
+            if net_params_1:
+                raise ValueError(
+                    "net_params_1 only applies to reference .pth imports; "
+                    "full-state checkpoints carry both networks")
 
         # jitted prediction head: (params[, params_evm], X[N,2]) -> (u,v,p,e)
         self._predict_jit = jax.jit(self._predict_impl)
@@ -866,6 +876,60 @@ class PINNSolver:
             vis_t_minus=(pmesh.shard_batch(self.mesh, vtm)
                          if vtm is not None else None),
         )
+
+    def load_torch(self, net_params: str, net_params_1: Optional[str] = None):
+        """Import reference-format torch ``.pth`` state_dicts (the published
+        checkpoints: bare FCNet state_dicts, ev-NSFnet/pinn_solver.py:108-120)
+        into the live state. Only params are imported — the reference never
+        checkpoints optimizer moments or vis_t, so those reinitialize exactly
+        as a reference restart would. When ``net_params_1`` is omitted, the
+        reference's ``<net_params>_evm`` sibling is used if present."""
+        from nsfnet_tpu.utils import torch_import as ti
+
+        if self.backbone != "mlp" or getattr(self.net, "fourier_features", 0):
+            raise ValueError(".pth import requires the plain MLP backbone "
+                             "(the reference's FCNet)")
+        params = ti.load_torch_params(net_params)
+        expect = tuple(tuple(w.shape) for w, _ in self.state.params)
+        got = ti.params_shapes(params)
+        if got != expect:
+            raise ValueError(
+                f"imported net shapes {got} != configured {expect} — check "
+                "layers/hidden_size against the checkpoint's architecture")
+        rep = pmesh.replicated_sharding(self.mesh)
+        params = jax.device_put(
+            tuple((jnp.asarray(w), jnp.asarray(b)) for w, b in params), rep)
+        params_evm = self.state.params_evm
+        if self.evm:
+            if net_params_1 is None and os.path.exists(net_params + "_evm"):
+                net_params_1 = net_params + "_evm"
+            if net_params_1:
+                pe = ti.load_torch_params(net_params_1)
+                expect_e = tuple(tuple(w.shape) for w, _ in params_evm)
+                if ti.params_shapes(pe) != expect_e:
+                    raise ValueError(
+                        f"imported EVM shapes {ti.params_shapes(pe)} != "
+                        f"configured {expect_e}")
+                params_evm = jax.device_put(
+                    tuple((jnp.asarray(w), jnp.asarray(b)) for w, b in pe), rep)
+        # fresh optimizer moments (reference restart semantics) + vis_t from
+        # the imported EVM net on the next batch build
+        self.state = self.state._replace(
+            params=params,
+            params_evm=params_evm,
+            opt_main=jax.device_put(self.tx_main.init(params), rep),
+            opt_evm=(jax.device_put(self.tx_evm.init(params_evm), rep)
+                     if self.evm else None),
+            vis_t_minus=None,
+        )
+        if self._eq is not None and self.evm:
+            self._init_vis_t()
+            self._vis_stale = True
+        self._dirty = True
+        if self.rank == 0:
+            self.logger.info(
+                f"imported torch params from {net_params}"
+                + (f" + {net_params_1}" if net_params_1 else ""))
 
     def _ensure_vis_shape_for_load(self):
         # restore needs a template with the right vis_t shape if data is set
