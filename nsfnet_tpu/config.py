@@ -46,6 +46,14 @@ class TrainingStage:
     lr: float
     name: str = "Stage"
     optimizer: str = "adam"  # adam | lbfgs | lm (polish stages)
+    # Stall-aware advance (TPU-era improvement on the reference's fixed
+    # 6-stage schedule, production.yaml:14-27): end the stage early once the
+    # equation loss stops improving, so a fixed wall-clock budget reaches
+    # the deep-anneal stages instead of over-training an exhausted one.
+    # The Re=4000 post-mortem showed the opposite failure too (annealing
+    # OUTPACING convergence) — min_epochs guards the floor.
+    advance_on_stall: bool = False
+    stall_min_epochs: int = 0  # never advance before this many epochs
 
 
 @dataclass
@@ -82,6 +90,11 @@ class TrainingConfig:
     lm_microbatches: int = 1  # LM Gauss-Newton product slicing (memory)
     loss_mode: str = "MSE"  # MSE | L2 (NSFnet/pinn_solver.py:201-218)
     resample_each_stage: bool = False  # draw fresh collocation points per stage
+    # stall detector for stages with advance_on_stall: relative equation-
+    # loss improvement across `stall_window` consecutive log intervals
+    # below `stall_threshold` -> advance to the next stage
+    stall_threshold: float = 0.02
+    stall_window: int = 3
     training_stages: List[TrainingStage] = field(default_factory=lambda: [
         TrainingStage(0.05, 500000, 1e-3, "Stage 1"),
         TrainingStage(0.03, 500000, 2e-4, "Stage 2"),
@@ -159,6 +172,8 @@ class ConfigManager:
                         lr=float(st["lr"]),
                         name=str(st.get("name", "Stage")),
                         optimizer=str(st.get("optimizer", "adam")),
+                        advance_on_stall=bool(st.get("advance_on_stall", False)),
+                        stall_min_epochs=int(st.get("stall_min_epochs", 0)),
                     ))
                 elif isinstance(st, (list, tuple)) and len(st) >= 4:
                     stages.append(TrainingStage(

@@ -206,15 +206,19 @@ def main(argv=None):
         # mid-stage resume trains the FULL stage length starting at the
         # restored epoch_in_stage so the EVM freeze phase stays aligned
         n_epoch = st.epochs if resumed_mid_stage else epochs
+        train_kw = dict(num_epoch=n_epoch, lr=st.lr, optimizer=st.optimizer,
+                        resume_in_stage=resumed_mid_stage,
+                        advance_on_stall=st.advance_on_stall,
+                        stall_threshold=cfg.training.stall_threshold,
+                        stall_window=cfg.training.stall_window,
+                        stall_min_epochs=st.stall_min_epochs)
         if i == 0 and args.profile:
             from nsfnet_tpu.utils.profiling import xla_trace
 
             with xla_trace(args.profile):
-                solver.train(num_epoch=n_epoch, lr=st.lr, optimizer=st.optimizer,
-                             resume_in_stage=resumed_mid_stage)
+                solver.train(**train_kw)
         else:
-            solver.train(num_epoch=n_epoch, lr=st.lr, optimizer=st.optimizer,
-                         resume_in_stage=resumed_mid_stage)
+            solver.train(**train_kw)
         if eval_fields:
             solver.evaluate(*eval_fields)
     logger.header("Training Completed")

@@ -453,7 +453,9 @@ class PINNSolver:
 
     def train(self, num_epoch: int = 1, lr: float = 1e-4, optimizer: str = "adam",
               Re: Optional[float] = None, bc_weight: Optional[float] = None,
-              resume_in_stage: bool = False, **_compat):
+              resume_in_stage: bool = False, advance_on_stall: bool = False,
+              stall_threshold: float = 0.02, stall_window: int = 3,
+              stall_min_epochs: int = 0, **_compat):
         """One training stage: num_epoch full-batch steps at fixed lr
         (parity: ev-NSFnet/pinn_solver.py:430-487). Extensions:
         optimizer='lbfgs' runs the L-BFGS polish; Re / bc_weight override
@@ -482,6 +484,7 @@ class PINNSolver:
         last_log_t, last_log_e = stage_start, done
 
         pts_per_step = int(self._batch.x_f.shape[0] + self._batch.x_b.shape[0])
+        eq_track: list = []  # equation loss at log boundaries (stall detector)
         last_ckpt: Optional[str] = None
         crashes = 0
         while done < num_epoch:
@@ -528,9 +531,29 @@ class PINNSolver:
                                 pts_per_step, now - stage_start,
                                 now - self.cumulative_start_time, lr)
                 last_log_t, last_log_e = now, done
+                if done > 1:  # epoch-1 loss is pre-descent; skip it
+                    eq_track.append(float(m.equation))
             if (done == 1 and num_epoch >= self.checkpoint_freq) \
                     or done % self.checkpoint_freq == 0:
                 last_ckpt = self.save(f"model_cavity_loop{done}.ckpt") or last_ckpt
+            if (advance_on_stall and done >= max(stall_min_epochs, 1)
+                    and done < num_epoch and len(eq_track) > stall_window):
+                prev, cur = eq_track[-1 - stall_window], eq_track[-1]
+                gain = (prev - cur) / max(abs(prev), 1e-30)
+                if gain < stall_threshold:
+                    if self.rank == 0:
+                        self.logger.info(
+                            f"[{self.current_stage}] stalled at epoch {done}/"
+                            f"{num_epoch}: eq-loss gain {gain * 100:.2f}% over "
+                            f"{stall_window} log intervals < "
+                            f"{stall_threshold * 100:.2f}% — advancing stage")
+                    # fast-forward the global step to the stage end so the
+                    # driver's stage<->step mapping (and a watchdog resume
+                    # from this checkpoint) land on the NEXT stage
+                    self.global_step += num_epoch - done
+                    last_ckpt = self.save(
+                        f"model_cavity_loop{num_epoch}.ckpt") or last_ckpt
+                    break
         return self.state
 
     def train_lbfgs(self, num_steps: int):
@@ -814,6 +837,16 @@ class PINNSolver:
         path back so crash auto-resume can roll back consistently on all
         processes — the path is deterministic across ranks)."""
         path = os.path.join(directory or self._ckpt_dir(), filename)
+        state = self.state
+        if jax.process_count() > 1 and state.vis_t_minus is not None:
+            # the vis_t carry is row-sharded across PROCESSES — rank 0 alone
+            # cannot device_get it. Gather collectively (all ranks reach
+            # this; only rank 0 writes below).
+            from jax.experimental import multihost_utils
+
+            vtm = multihost_utils.process_allgather(state.vis_t_minus,
+                                                    tiled=True)
+            state = state._replace(vis_t_minus=np.asarray(vtm))
         if self.rank != 0:
             return path
         meta = {
@@ -825,7 +858,7 @@ class PINNSolver:
         ds = getattr(self, "dataset", None)
         if ds is not None:
             meta["sampler"] = ds.get_state()
-        ckpt.save_state(path, self.state, metadata=meta)
+        ckpt.save_state(path, state, metadata=meta)
         if self._loss_history:
             import scipy.io
 

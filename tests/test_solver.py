@@ -585,3 +585,28 @@ def test_load_short_vis_t_reinitializes(tmp_path):
     x = np.concatenate(big._eq, axis=1)
     e = np.asarray(big.net_1.apply(big.state.params_evm, jnp.asarray(x)))[:, 0:1]
     np.testing.assert_allclose(vtm[:n_f], big.alpha_evm * np.abs(e), rtol=1e-5)
+
+
+def test_stall_advance_ends_stage_early(tmp_path):
+    """advance_on_stall: a stage whose equation loss stops improving (lr=0
+    makes it exactly flat) ends after stall_window+1 log intervals, writes
+    a break checkpoint, and fast-forwards global_step to the stage end so
+    the driver/watchdog stage mapping stays consistent."""
+    import glob as _glob
+
+    solver = _make_solver(log_interval=10, checkpoint_path=str(tmp_path))
+    _attach_data(solver)
+    solver.train(num_epoch=1000, lr=0.0, advance_on_stall=True,
+                 stall_threshold=0.01, stall_window=2, stall_min_epochs=0)
+    assert solver.global_step == 1000  # fast-forwarded to stage end
+    assert int(solver.state.epoch_in_stage) < 100  # actually stopped early
+    ckpts = _glob.glob(str(tmp_path) + "/**/model_cavity_loop1000.ckpt",
+                       recursive=True)
+    assert ckpts, "break checkpoint should be written"
+
+    # a stage that IS improving does not advance early
+    solver2 = _make_solver(log_interval=10, checkpoint_path=str(tmp_path))
+    _attach_data(solver2)
+    solver2.train(num_epoch=60, lr=1e-3, advance_on_stall=True,
+                  stall_threshold=0.01, stall_window=2)
+    assert int(solver2.state.epoch_in_stage) == 60
