@@ -83,7 +83,11 @@ class TrainingConfig:
     checkpoint_dir: str = "results"
     seed: int = 42
     # TPU-specific
-    matmul_precision: str = "highest"  # highest | high | default
+    # high (bf16x3) is the documented default: measured 7.97e-6 relative
+    # gradient error vs exact fp32 (far below Adam's update noise,
+    # VALIDATION.md) at 1.26x the fp32 throughput. Set "highest" for
+    # exact-fp32 matmuls, "default" for raw bf16.
+    matmul_precision: str = "high"
     evm_update_freq: int = 10000  # EVM net trains once per this many steps
     mesh_devices: Optional[int] = None  # None = all local devices
     microbatches: int = 1  # gradient-accumulation microbatches (N_f > HBM)

@@ -221,6 +221,7 @@ def main(argv=None):
             solver.train(**train_kw)
         if eval_fields:
             solver.evaluate(*eval_fields)
+    solver.save("model_final.ckpt")  # final state, even off the ckpt cadence
     logger.header("Training Completed")
     if solver.tb_writer is not None:
         solver.tb_writer.close()

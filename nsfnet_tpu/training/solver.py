@@ -85,7 +85,7 @@ class PINNSolver:
         seed: int = 42,
         mesh=None,
         mesh_devices: Optional[int] = None,
-        matmul_precision: str = "highest",
+        matmul_precision: str = "high",  # bf16x3 (validated default; see config.py)
         evm_update_freq: int = 10000,
         log_interval: int = 1000,
         engine: str = "auto",  # auto | pallas | xla — residual-engine backend

@@ -43,6 +43,11 @@ def main(config_path, ckpt_glob, out_dir):
     streamplot_cavity(solver, n=100, out_path=os.path.join(out_dir, "cavity.png"),
                       title=f"Re={cfg.physics.Re:g} after {solver.global_step:,} steps")
     field_heatmaps(solver, n=257, out_path=os.path.join(out_dir, "fields.png"))
+    if solver.backbone == "kan":
+        from nsfnet_tpu.utils.visualization import kan_plot
+
+        kan_plot(solver.net, solver.state.params,
+                 out_path=os.path.join(out_dir, "kan_splines.png"))
 
     if cfg.eval_data and os.path.exists(cfg.eval_data):
         errs = solver.evaluate(*data.evaluate_data(cfg.eval_data))

@@ -31,6 +31,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 REFERENCE_PTS_PER_SEC = 142_000.0  # 1x P100 (ev-NSFnet/README.md:56)
+V5E_BF16_PEAK = 197e12  # TPU v5e MXU peak, bf16 FLOP/s per chip
+
+# MXU passes a single model-FLOP costs at each matmul precision:
+# default = one bf16 pass, high = bf16x3, highest = fp32 via 6 passes
+PASSES = {"default": 1, "high": 3, "highest": 6}
+
+
+def model_flops_per_point(layers=6, hidden=80, layers_1=4, hidden_1=40):
+    """Analytic model-FLOPs per collocation point per training step.
+
+    The residual engine carries 5 streams (value, d/dx, d/dy, d2/dx2,
+    d2/dy2) through every matmul after the analytic first layer
+    (ops/derivatives.py:81-123): fwd = 2*2*h + (L-1)*5*(2*h*h) + 5*(2*h*3)
+    for the main net, likewise for the EVM net (1 output). Reverse mode
+    costs ~2x the forward (grads wrt params + activations), so a step is
+    ~3x fwd. Boundary/supervised rows (~2% of points) are counted at the
+    same rate — a slight overestimate offset by ignoring VPU work.
+    """
+
+    def fwd(L, h, n_out):
+        return 2 * 2 * h + (L - 1) * 5 * (2 * h * h) + 5 * (2 * h * n_out)
+
+    return 3.0 * (fwd(layers, hidden, 3) + fwd(layers_1, hidden_1, 1))
 
 
 def measure(solver, n_f, steps):
@@ -77,10 +100,20 @@ def main():
     kan_steps = 100 if (on_tpu and not quick) else 5
 
     rows = []
+    flop_pt = model_flops_per_point()
     for prec in ("highest", "high", "default"):
         pts = measure(build(n_f, matmul_precision=prec), n_f, steps)
-        rows.append({"config": f"mlp/pallas {prec}", "pts_per_s_per_chip":
-                     round(pts, 1), "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+        model_tflops = pts * flop_pt / 1e12
+        rows.append({
+            "config": f"mlp/pallas {prec}",
+            "pts_per_s_per_chip": round(pts, 1),
+            "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2),
+            "model_tflops_per_s": round(model_tflops, 2),
+            # hardware MXU utilization: each model-FLOP costs PASSES[prec]
+            # bf16 MXU passes at this precision
+            "mxu_util_pct": round(100 * model_tflops * 1e12 * PASSES[prec]
+                                  / V5E_BF16_PEAK, 1),
+        })
         print(json.dumps(rows[-1]), flush=True)
 
     # KAN backbone: generic jvp engine (no fused kernel yet); smaller N_f —
@@ -97,11 +130,17 @@ def main():
     with open("artifacts/perf_matrix.json", "w") as f:
         json.dump({"platform": jax.devices()[0].platform,
                    "n_f": n_f, "rows": rows}, f, indent=1)
-    print("| config | pts/s/chip | vs P100 baseline |", file=sys.stderr)
-    print("|---|---|---|", file=sys.stderr)
+    print("| config | pts/s/chip | vs P100 baseline | model TFLOP/s | MXU util |",
+          file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
     for r in rows:
+        tf = r.get("model_tflops_per_s")
+        mfu = r.get("mxu_util_pct")
         print(f"| {r['config']} | {r['pts_per_s_per_chip']:,.0f} | "
-              f"{r['vs_baseline']:.1f}x |", file=sys.stderr)
+              f"{r['vs_baseline']:.1f}x | "
+              f"{tf if tf is not None else '-'} | "
+              f"{str(mfu) + '%' if mfu is not None else '-'} |",
+              file=sys.stderr)
     return 0
 
 
