@@ -90,9 +90,6 @@ class PINNSolver:
         log_interval: int = 1000,
         engine: str = "auto",  # auto | pallas | xla — residual-engine backend
         loss_mode: str = "MSE",  # MSE | L2 (reference v1's un-normalized norms)
-        fuse_evm: bool = False,  # route the EVM net through the fused value
-        # kernel; measured slightly slower than XLA's own fusion for the
-        # tiny 4x40 net (kernel dispatch overhead), so off by default
         max_chunk: int = 2000,  # max steps per device dispatch: keeps one
         # scan under typical runtime watchdogs (a 10k-step dispatch was
         # observed to kill the TPU worker) while still amortizing dispatch
@@ -103,7 +100,6 @@ class PINNSolver:
         fourier_features: int = 0,  # random Fourier input embedding size for
         fourier_sigma: float = 3.0,  # the main MLP (0 = off; generic engine)
     ):
-        self.fuse_evm = fuse_evm
         self.max_chunk = max_chunk
         self.microbatches = max(1, int(microbatches))
         self.lm_microbatches = max(1, int(lm_microbatches))
@@ -386,13 +382,11 @@ class PINNSolver:
         return mlp_derivatives_2d
 
     def _make_loss(self, engine_kind: str, axis_name: Optional[str]):
+        # The EVM net runs through XLA's own fusion even on the pallas
+        # engine: a fused Pallas value kernel for the tiny 4x40 net was
+        # built and measured SLOWER (kernel dispatch overhead exceeds the
+        # HBM round-trip it saves) — see VALIDATION.md "fused EVM forward".
         apply_evm = self.net_1.apply if self.evm else None
-        if self.evm and engine_kind == "pallas" and self.fuse_evm:
-            # EVM value forward+backward through the fused kernel too — the
-            # XLA path materializes its [N,40] activations through HBM
-            from nsfnet_tpu.ops.pallas_mlp_fwd import make_fused_mlp_forward
-
-            apply_evm = make_fused_mlp_forward(self.matmul_precision)
         return make_loss_fn(
             engine=self._engine(engine_kind),
             apply_main=self.net.apply,

@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(config_path, ckpt_glob, out_dir):
     import jax
 
+    if os.environ.get("NSFNET_CPU"):  # render while the TPU is busy training
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     from nsfnet_tpu.config import ConfigManager
     from nsfnet_tpu.data.cavity import CavityData

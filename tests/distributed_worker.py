@@ -38,22 +38,37 @@ def main():
                         hidden_size_1=8, N_f=256, alpha_evm=0.03,
                         bc_weight=10, eq_weight=1, seed=7,
                         log_interval=10**9, checkpoint_freq=10**9,
-                        checkpoint_path=out + ".ckpts")
+                        checkpoint_path=os.path.join(os.path.dirname(os.path.abspath(out)), "shared_ckpts"))
     assert solver.world_size == 2
     data = CavityData(N_f=256, sort_training_points=False, seed=0)
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
     solver.train(num_epoch=n_epochs, lr=1e-3)
 
-    # checkpoint write exercises the cross-process vis_t gather (rank 0
-    # writes; the gather is collective on all ranks)
-    solver.save("dist.ckpt", directory=out + ".ckpts")
-
     params = jax.device_get(solver.state.params)
     arrs = {}
     for i, (w, b) in enumerate(params):
         arrs[f"w{i}"], arrs[f"b{i}"] = np.asarray(w), np.asarray(b)
     np.savez(out, **arrs)
+    # checkpoint write exercises the cross-process vis_t gather (rank 0
+    # writes; the gather is collective on all ranks)
+    path = solver.save("dist.ckpt", directory=os.path.join(
+        os.path.dirname(os.path.abspath(out)), "shared_ckpts"))
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ckpt_written")  # rank 1 must not
+    # read before rank 0's write completes
+
+    # multi-process restore: every rank loads the same file (shared fs) and
+    # re-shards; training must continue (crash-recovery path on a pod)
+    before = jax.device_get(solver.state.params)
+    solver.load(path)
+    after = jax.device_get(solver.state.params)
+    for (w0, b0), (w1, b1) in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    solver.train(num_epoch=2, lr=1e-3)
+
     print(f"DONE rank={jax.process_index()}", flush=True)
     jax.distributed.shutdown()
 

@@ -74,9 +74,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     # rank 0 wrote a full-state checkpoint (cross-process vis_t gather)
     import glob
 
-    assert glob.glob(str(tmp_path / "rank0.npz.ckpts" / "**" / "dist.ckpt"),
-                     recursive=True) or os.path.exists(
-        str(tmp_path / "rank0.npz.ckpts" / "dist.ckpt"))
+    assert os.path.exists(str(tmp_path / "shared_ckpts" / "dist.ckpt"))
 
     # single-process 2-device run of the IDENTICAL problem
     from nsfnet_tpu.data.cavity import CavityData
