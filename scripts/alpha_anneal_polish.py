@@ -37,6 +37,7 @@ def main(config_path, ckpt, cpu=False):
                       sdf_enabled=(cfg.training.sdf_weighting.enabled
                                    and os.environ.get("POLISH_SDF", "1") != "0"),
                       seed=cfg.training.seed)
+    solver.attach_dataset(data)  # sampler state rides in ckpt metadata
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
     solver.load(ckpt)

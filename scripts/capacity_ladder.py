@@ -65,6 +65,7 @@ def main():
     solver = build_solver(cfg)
     solver.matmul_precision = "highest"
     solver.lm_microbatches = max(1, args.micro)
+    solver.attach_dataset(data)  # sampler state rides in ckpt metadata
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data())
     solver.load(args.ckpt)
