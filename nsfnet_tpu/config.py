@@ -215,6 +215,10 @@ class ConfigManager:
                 warnings.append(f"stage {i} ({st.name}): epochs must be > 0")
             if st.lr <= 0:
                 warnings.append(f"stage {i} ({st.name}): lr must be > 0")
+            if st.advance_on_stall and st.optimizer != "adam":
+                warnings.append(
+                    f"stage {i} ({st.name}): advance_on_stall only applies "
+                    f"to adam stages — ignored for optimizer={st.optimizer!r}")
         return warnings
 
     def print_config(self, printer=print):

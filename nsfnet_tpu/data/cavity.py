@@ -76,6 +76,7 @@ class CavityData:
         self.pts_bc: Optional[np.ndarray] = None
         self.sdf_weights: Optional[np.ndarray] = None
         self._pre_draw_rng_state = self._rng.bit_generator.state
+        self._state_is_pre_draw = True  # no draw has consumed the state yet
 
     # ------------------------------------------------ sampler checkpointing
     # (SURVEY §5.4 full-state resume: a watchdog restart during a
@@ -84,14 +85,40 @@ class CavityData:
     def get_state(self) -> dict:
         """Sampler state as of the most recent draw: after `set_state(s)`,
         the next `training_data()` call reproduces the most recent draw
-        bit-exactly and the stream continues identically thereafter."""
+        bit-exactly and the stream continues identically thereafter.
+        Records which sampling path (native/numpy) produced the stream —
+        replaying on a host where the other path would be taken must fail
+        loudly, not silently draw different points."""
+        if self._state_is_pre_draw:
+            # between set_state() and the next draw: counter/rng already
+            # point AT the next draw, not past it
+            draws_next, rng_state = self._draws, self._rng.bit_generator.state
+        else:
+            draws_next = max(self._draws - 1, 0)
+            rng_state = self._pre_draw_rng_state
+        from nsfnet_tpu.data import native
+
         return {
-            "draws_next": max(self._draws - 1, 0),
+            "draws_next": draws_next,
             "native_seed": int(self._native_seed),
-            "rng_state": self._pre_draw_rng_state,
+            "rng_state": rng_state,
+            "native": bool(self.use_native and native.available()),
         }
 
     def set_state(self, s: dict) -> None:
+        from nsfnet_tpu.data import native
+
+        if "native" in s:
+            here = bool(self.use_native and native.available())
+            if here != bool(s["native"]):
+                raise RuntimeError(
+                    f"sampler state was recorded on the "
+                    f"{'native' if s['native'] else 'numpy'} sampling path "
+                    f"but this host would use the "
+                    f"{'native' if here else 'numpy'} path — the replayed "
+                    "points would differ from the checkpointed vis_t "
+                    "carry. Build native/ (make -C native) or set "
+                    "use_native to match the writer.")
         self._draws = int(s["draws_next"])
         self._native_seed = int(s["native_seed"])
         if s.get("rng_state") is not None:
@@ -102,6 +129,7 @@ class CavityData:
                                for k, v in st["state"].items()}
             self._rng.bit_generator.state = st
             self._pre_draw_rng_state = st
+        self._state_is_pre_draw = True
 
     @property
     def coord_scale(self) -> float:
@@ -141,6 +169,7 @@ class CavityData:
         go_native = self.use_native and native.available()
         bounds = [[0.0, 1.0], [0.0, 1.0]]  # generation frame: unit square
         self._pre_draw_rng_state = self._rng.bit_generator.state
+        self._state_is_pre_draw = False
         if go_native:
             xye = native.lh_sample(self.N_f, bounds,
                                    self._native_seed + 7919 * self._draws)

@@ -197,6 +197,15 @@ def main(argv=None):
         # remainder on a different draw
         resumed_mid_stage = bool(args.resume) and start_step > stage_start_epochs \
             and st.optimizer == "adam"
+        if (resumed_mid_stage and cfg.training.resample_each_stage
+                and not sampler_replayed):
+            # pre-sampler-metadata checkpoint: the writer's draw cannot be
+            # reconstructed; the remainder trains on this process's draw-0
+            # points with the restored carry (legacy, approximate resume)
+            logger.warning(
+                "mid-stage resume without sampler metadata under "
+                "resample_each_stage — collocation points may differ from "
+                "the writer's (approximate resume)")
         if cfg.training.resample_each_stage and i > 0 and not resumed_mid_stage:
             # fresh Latin-Hypercube draw per stage (extension; the reference
             # keeps one fixed point set for the whole run). Same shapes ->

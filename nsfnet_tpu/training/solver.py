@@ -930,6 +930,11 @@ class PINNSolver:
         if self.evm:
             if net_params_1 is None and os.path.exists(net_params + "_evm"):
                 net_params_1 = net_params + "_evm"
+            if not net_params_1 and self.rank == 0:
+                self.logger.warning(
+                    f"no EVM state_dict given and {net_params}_evm does not "
+                    "exist — the EVM net keeps its RANDOM initialization "
+                    "(vis_t / Re_eff will be meaningless until it trains)")
             if net_params_1:
                 pe = ti.load_torch_params(net_params_1)
                 expect_e = tuple(tuple(w.shape) for w, _ in params_evm)

@@ -44,16 +44,18 @@ def model_flops_per_point(layers=6, hidden=80, layers_1=4, hidden_1=40):
     The residual engine carries 5 streams (value, d/dx, d/dy, d2/dx2,
     d2/dy2) through every matmul after the analytic first layer
     (ops/derivatives.py:81-123): fwd = 2*2*h + (L-1)*5*(2*h*h) + 5*(2*h*3)
-    for the main net, likewise for the EVM net (1 output). Reverse mode
-    costs ~2x the forward (grads wrt params + activations), so a step is
+    for the main net. The EVM net is a plain VALUE forward in the loss
+    (training/step.py:93 — no derivative streams). Reverse mode costs
+    ~2x the forward (grads wrt params + activations), so a step is
     ~3x fwd. Boundary/supervised rows (~2% of points) are counted at the
     same rate — a slight overestimate offset by ignoring VPU work.
     """
 
-    def fwd(L, h, n_out):
-        return 2 * 2 * h + (L - 1) * 5 * (2 * h * h) + 5 * (2 * h * n_out)
+    def fwd(L, h, n_out, streams):
+        return (2 * 2 * h + (L - 1) * streams * (2 * h * h)
+                + streams * (2 * h * n_out))
 
-    return 3.0 * (fwd(layers, hidden, 3) + fwd(layers_1, hidden_1, 1))
+    return 3.0 * (fwd(layers, hidden, 3, 5) + fwd(layers_1, hidden_1, 1, 1))
 
 
 def measure(solver, n_f, steps):
