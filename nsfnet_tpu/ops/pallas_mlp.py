@@ -45,14 +45,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nsfnet_tpu.models.mlp import Params
 
-TILE = 512       # forward tile; also the padding granule
+import os as _os
+
+# forward tile; also the padding granule. Env-overridable for perf sweeps
+# (scripts/pallas_tile_sweep.py) — must be a multiple of 8 (fp32 sublane).
+TILE = int(_os.environ.get("NSFNET_PALLAS_TILE", 512))
 
 
 def bwd_tile_for(n_hidden: int, hidden: int) -> int:
     """Pick the largest backward tile (divisor of TILE) whose resident set —
     packed carries [5T,H] per layer, packed tangents [4T,H], working
     buffers — fits comfortably in VMEM (~12 MB budget of the 16 MB/core).
+    Env NSFNET_PALLAS_BWD_TILE forces a fixed tile (perf sweeps).
     """
+    forced = _os.environ.get("NSFNET_PALLAS_BWD_TILE")
+    if forced:
+        return int(forced)
     budget = 10 * 1024 * 1024  # of the 16 MB/core; leaves headroom for the
     # compiler's double-buffered I/O and temporaries (T=512 with H=80 was
     # measured to OOM at 21 MB scoped)
