@@ -204,3 +204,47 @@ def test_resume_mid_stage_bit_exact_with_resampling(tmp_path, monkeypatch):
         for a, b in zip(la, lb):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=name)
+
+
+def test_driver_wires_stall_advance(tmp_path, monkeypatch):
+    """Config-level advance_on_stall reaches solver.train: an lr~0 stage
+    with stall flags ends early (global_step still fast-forwards to the
+    stage budget) and the next stage runs — the wiring the Re=5000
+    stall-aware campaign config depends on."""
+    import textwrap as tw
+
+    from nsfnet_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    mat = str(tmp_path / "dns.mat")
+    _write_dns_mat(mat)
+    cfg = tmp_path / "stall.yaml"
+    cfg.write_text(tw.dedent(f"""
+        experiment_name: stall_e2e
+        model_variant: ev-nsfnet
+        physics: {{Re: 100, alpha_evm: 0.03}}
+        network: {{layers: 2, layers_1: 2, hidden_size: 12, hidden_size_1: 8}}
+        eval_data: {mat}
+        training:
+          N_f: 128
+          log_interval: 10
+          enable_tensorboard: false
+          sort_training_points: false
+          checkpoint_freq: 1000000
+          checkpoint_dir: {tmp_path}/results
+          stall_threshold: 0.01
+          stall_window: 2
+          training_stages:
+            - {{alpha: 0.03, epochs: 500, lr: 1.0e-30, name: SFLAT,
+                advance_on_stall: true, stall_min_epochs: 0}}
+            - {{alpha: 0.02, epochs: 20, lr: 1.0e-3, name: SGO}}
+    """))
+    assert main(_args(str(cfg))) == 0
+    # the final checkpoint carries the fast-forwarded step count: 500 + 20
+    from nsfnet_tpu.training import checkpoint as ckpt_mod
+
+    finals = glob.glob(str(tmp_path / "results" / "**" / "model_final.ckpt"),
+                       recursive=True)
+    assert finals
+    meta = ckpt_mod.load_metadata(finals[0])
+    assert meta["global_step"] == 520, meta
