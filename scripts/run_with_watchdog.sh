@@ -22,6 +22,7 @@ while true; do
   echo "[watchdog] launching (resume: ${LATEST:-none})" >> "$LOG"
   python -u -m nsfnet_tpu.train --config "$CONFIG" "${RESUME[@]}" >> "$LOG" 2>&1 &
   PID=$!
+  echo "$PID" > "$LOG.pid"  # current trainer PID (kill by PID, never by pattern)
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
