@@ -30,6 +30,16 @@ def parse_args():
                    help="print config & stages then exit (ev-NSFnet/train.py:18)")
     p.add_argument("--resume", type=str, default=None,
                    help="path to a full-state checkpoint to resume from")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="warm-start: load ONLY the network params from this "
+                        "checkpoint (fresh optimizer, schedule from step 0); "
+                        "if the config's hidden_size is wider than the "
+                        "checkpoint's, the net is widened function-"
+                        "preservingly (Net2Net) first")
+    p.add_argument("--init-hidden", type=int, default=0,
+                   help="hidden size of the --init-from checkpoint when its "
+                        "metadata predates architecture stamping (default: "
+                        "the config's hidden_size)")
     p.add_argument("--profile", type=str, default=None,
                    help="capture an XLA profiler trace of the first stage "
                         "into this directory (TensorBoard profile plugin)")
@@ -156,6 +166,48 @@ def main(argv=None):
     else:
         solver.clear_supervised_data()
         solver.set_supervised_loss_weight(0.0)
+
+    init_from = getattr(args, "init_from", None)
+    if init_from and args.resume:
+        logger.error("--init-from and --resume are mutually exclusive")
+        return 2
+    if init_from:
+        # Warm-start (transfer) path: install the donor checkpoint's network
+        # weights only — optimizer state, step counter and vis_t carry start
+        # fresh, and the config's stage schedule runs from the top. Used to
+        # continue a finished campaign at a wider architecture (the round-2
+        # capacity-ladder recipe as a first-class driver flag).
+        import copy as _copy
+
+        from nsfnet_tpu.models.mlp import widen_mlp_params
+        from nsfnet_tpu.training import checkpoint as ckpt_mod
+
+        meta = ckpt_mod.load_metadata(init_from) or {}
+        donor_hidden = int(meta.get("hidden_size")
+                           or getattr(args, "init_hidden", 0)
+                           or cfg.network.hidden_size)
+        dcfg = _copy.deepcopy(cfg)
+        dcfg.network.hidden_size = donor_hidden
+        donor = build_solver(dcfg)
+        donor.set_boundary_data(X=data.boundary_data())
+        donor.set_eq_training_data(X=data.training_data(),
+                                   weights=data.sdf_weights)
+        donor.load(init_from)
+        params, params_evm = donor.state.params, donor.state.params_evm
+        del donor
+        if donor_hidden != cfg.network.hidden_size:
+            if cfg.network.backbone != "mlp":
+                logger.error("--init-from widening is MLP-only")
+                return 2
+            params = widen_mlp_params(params, cfg.network.hidden_size,
+                                      jax.random.PRNGKey(cfg.training.seed))
+            logger.info(f"warm-start: widened h{donor_hidden} -> "
+                        f"h{cfg.network.hidden_size} (function-preserving)")
+        solver.state = solver.state._replace(params=params,
+                                             params_evm=params_evm)
+        solver.refresh_vis_t()
+        logger.info(f"warm-start from {init_from}: params only; fresh "
+                    f"optimizer, schedule from step 0")
 
     start_step = 0
     sampler_replayed = False

@@ -848,6 +848,11 @@ class PINNSolver:
             "Re": self.Re,
             "alpha_evm": self.alpha_evm,
             "stage": self.current_stage,
+            # architecture stamp so --init-from can rebuild the donor
+            # template without being told the shape (train.py warm-start)
+            "layers": self.layers,
+            "hidden_size": self.hidden_size,
+            "backbone": self.backbone,
         }
         ds = getattr(self, "dataset", None)
         if ds is not None:

@@ -4,9 +4,14 @@
 # on flaky TPU tunnels) or the process dies. Complements the in-process
 # crash auto-resume (which cannot recover from a HUNG dispatch).
 #
-# Usage: scripts/run_with_watchdog.sh <config.yaml> <logfile> [stale_secs]
+# Usage: scripts/run_with_watchdog.sh <config.yaml> <logfile> [stale_secs] \
+#            [cold-start args...]
+# Extra args (e.g. --init-from ckpt) are passed ONLY while no checkpoint
+# exists in the config's checkpoint_dir — once the run has checkpointed,
+# restarts switch to --resume <newest> and drop them.
 set -u
-CONFIG="$1"; LOG="$2"; STALE="${3:-600}"
+CONFIG="$1"; LOG="$2"; STALE="${3:-600}"; shift; shift; [ $# -gt 0 ] && shift
+COLD_ARGS=("$@")
 RESULTS_DIR=$(python - "$CONFIG" <<'PY'
 import sys, yaml
 cfg = yaml.safe_load(open(sys.argv[1]))
@@ -18,7 +23,11 @@ while true; do
   RESUME=()
   LATEST=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
            | sort -rn | head -1 | cut -d' ' -f2-)
-  [ -n "$LATEST" ] && RESUME=(--resume "$LATEST")
+  if [ -n "$LATEST" ]; then
+    RESUME=(--resume "$LATEST")
+  elif [ "${#COLD_ARGS[@]}" -gt 0 ]; then
+    RESUME=("${COLD_ARGS[@]}")
+  fi
   echo "[watchdog] launching (resume: ${LATEST:-none})" >> "$LOG"
   python -u -m nsfnet_tpu.train --config "$CONFIG" "${RESUME[@]}" >> "$LOG" 2>&1 &
   PID=$!

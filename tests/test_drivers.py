@@ -248,3 +248,76 @@ def test_driver_wires_stall_advance(tmp_path, monkeypatch):
     assert finals
     meta = ckpt_mod.load_metadata(finals[0])
     assert meta["global_step"] == 520, meta
+
+
+def test_warm_start_init_from_widens(tmp_path, monkeypatch):
+    """--init-from warm start: params-only transfer from a finished run's
+    checkpoint into a WIDER config — the widened net reproduces the donor
+    function at step 0 (Net2Net), the optimizer/schedule start fresh, and
+    the donor architecture is auto-detected from checkpoint metadata."""
+    import jax
+
+    from nsfnet_tpu.config import ConfigManager
+    from nsfnet_tpu.data.cavity import CavityData
+    from nsfnet_tpu.train import build_solver, main
+    from nsfnet_tpu.training import checkpoint as ckpt_mod
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _tiny_config(tmp_path)
+    assert main(_args(cfg)) == 0  # donor: h12, 70 epochs
+    donor_ckpt = sorted(
+        glob.glob(str(tmp_path / "results" / "**" / "model_final.ckpt"),
+                  recursive=True), key=os.path.getmtime)[-1]
+    assert ckpt_mod.load_metadata(donor_ckpt)["hidden_size"] == 12
+
+    import textwrap as tw
+    wide_cfg = tmp_path / "wide.yaml"
+    wide_cfg.write_text(tw.dedent(f"""
+        experiment_name: tiny_wide
+        model_variant: ev-nsfnet
+        physics: {{Re: 100, alpha_evm: 0.01}}
+        network: {{layers: 2, layers_1: 2, hidden_size: 16, hidden_size_1: 8}}
+        eval_data: {tmp_path}/dns.mat
+        training:
+          N_f: 128
+          log_interval: 50
+          enable_tensorboard: false
+          sort_training_points: false
+          checkpoint_freq: 1000000
+          checkpoint_dir: {tmp_path}/results_wide
+          training_stages:
+            - {{alpha: 0.01, epochs: 10, lr: 1.0e-4, name: P1}}
+    """))
+
+    # function preservation check: donor eval == widened-net eval at step 0
+    def _eval_params(cfg_path, params, params_evm):
+        c = ConfigManager.from_file(cfg_path).config
+        s = build_solver(c)
+        d = CavityData(N_f=c.training.N_f, sort_training_points=False,
+                       seed=c.training.seed)
+        s.set_boundary_data(X=d.boundary_data())
+        s.set_eq_training_data(X=d.training_data(), weights=d.sdf_weights)
+        if params is not None:
+            s.state = s.state._replace(params=params, params_evm=params_evm)
+        else:
+            s.load(donor_ckpt)
+        return s, d, s.evaluate(*d.evaluate_data(c.eval_data))
+
+    donor_solver, _, donor_res = _eval_params(cfg, None, None)
+    from nsfnet_tpu.models.mlp import widen_mlp_params
+    wide_params = widen_mlp_params(donor_solver.state.params, 16,
+                                   jax.random.PRNGKey(0))
+    _, _, wide_res = _eval_params(str(wide_cfg), wide_params,
+                                  donor_solver.state.params_evm)
+    for k in ("u", "v"):
+        np.testing.assert_allclose(wide_res[k], donor_res[k], rtol=1e-4)
+
+    # the driver path end-to-end: auto-detects h12, widens to h16, trains a
+    # FRESH 10-epoch schedule
+    assert main(_args(str(wide_cfg), init_from=donor_ckpt)) == 0
+    finals = glob.glob(str(tmp_path / "results_wide" / "**" /
+                           "model_final.ckpt"), recursive=True)
+    assert finals
+    meta = ckpt_mod.load_metadata(finals[0])
+    assert meta["global_step"] == 10, meta  # fresh schedule, not donor's 70
+    assert meta["hidden_size"] == 16, meta
