@@ -9,9 +9,13 @@
 # Extra args (e.g. --init-from ckpt) are passed ONLY while no checkpoint
 # exists in the config's checkpoint_dir — once the run has checkpointed,
 # restarts switch to --resume <newest> and drop them.
+# Env: WATCHDOG_DEADLINE_TS=<epoch secs> — hard stop: kill the trainer and
+# exit 0 at that time (campaign resumes later from the newest checkpoint);
+# frees the chip for a scheduled benchmark without losing work.
 set -u
 CONFIG="$1"; LOG="$2"; STALE="${3:-600}"; shift; shift; [ $# -gt 0 ] && shift
 COLD_ARGS=("$@")
+DEADLINE="${WATCHDOG_DEADLINE_TS:-0}"
 RESULTS_DIR=$(python - "$CONFIG" <<'PY'
 import sys, yaml
 cfg = yaml.safe_load(open(sys.argv[1]))
@@ -34,6 +38,12 @@ while true; do
   echo "$PID" > "$LOG.pid"  # current trainer PID (kill by PID, never by pattern)
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
+    if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+      echo "[watchdog] deadline reached - stopping pid $PID (resume later from newest ckpt)" >> "$LOG"
+      kill -9 "$PID" 2>/dev/null
+      wait "$PID" 2>/dev/null  # reap: no zombie left behind
+      exit 0
+    fi
     AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
     if [ "$AGE" -gt "$STALE" ]; then
       echo "[watchdog] log stale ${AGE}s - killing pid $PID" >> "$LOG"
