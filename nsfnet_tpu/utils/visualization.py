@@ -105,3 +105,53 @@ def field_heatmaps(solver, n: int = 257, out_path: str = "fields.png"):
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def centerline_profiles(solver, eval_fields=None, out_path: str = "profiles.png",
+                        title: str = "Centerline profiles"):
+    """The classic lid-driven-cavity validation figure: u along the
+    vertical centerline x=0.5 and v along the horizontal centerline
+    y=0.5, overlaid on the DNS reference when `eval_fields`
+    (x, y, u, v, p columns from CavityData.evaluate_data) is given.
+    The reference repo validates against full-field L2 error only
+    (ev-NSFnet/pinn_solver.py:669-693); this is the standard
+    complementary figure from the cavity literature."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = 257
+    g = np.linspace(0.0, 1.0, n)
+    half = np.full(n, 0.5)
+    u_c, _, _, _ = solver.neural_net_u(half, g)      # u(0.5, y)
+    _, v_c, _, _ = solver.neural_net_u(g, half)      # v(x, 0.5)
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.5))
+    ax1.plot(np.asarray(u_c), g, "-", lw=2, label="prediction")
+    ax2.plot(g, np.asarray(v_c), "-", lw=2, label="prediction")
+
+    if eval_fields is not None:
+        x, y, u, v, _ = (np.asarray(a).ravel() for a in eval_fields)
+        tol = 0.5 * np.min(np.diff(np.unique(np.round(x, 9)))) if x.size else 0.0
+        on_v = np.abs(x - 0.5) <= tol   # vertical centerline samples
+        on_h = np.abs(y - 0.5) <= tol
+        if on_v.any():
+            o = np.argsort(y[on_v])
+            ax1.plot(u[on_v][o], y[on_v][o], "k.", ms=3, label="DNS")
+        if on_h.any():
+            o = np.argsort(x[on_h])
+            ax2.plot(x[on_h][o], v[on_h][o], "k.", ms=3, label="DNS")
+
+    ax1.set_xlabel("u(0.5, y)")
+    ax1.set_ylabel("y")
+    ax2.set_xlabel("x")
+    ax2.set_ylabel("v(x, 0.5)")
+    for ax in (ax1, ax2):
+        ax.grid(alpha=0.3)
+        ax.legend()
+    fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -52,7 +52,14 @@ def main(config_path, ckpt_glob, out_dir):
                  out_path=os.path.join(out_dir, "kan_splines.png"))
 
     if cfg.eval_data and os.path.exists(cfg.eval_data):
-        errs = solver.evaluate(*data.evaluate_data(cfg.eval_data))
+        from nsfnet_tpu.utils.visualization import centerline_profiles
+
+        eval_fields = data.evaluate_data(cfg.eval_data)
+        centerline_profiles(
+            solver, eval_fields,
+            out_path=os.path.join(out_dir, "profiles.png"),
+            title=f"Re={cfg.physics.Re:g} centerline profiles vs DNS")
+        errs = solver.evaluate(*eval_fields)
         print("final errors:", errs)
     print(f"artifacts in {out_dir}")
 

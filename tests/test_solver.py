@@ -332,6 +332,20 @@ def test_visualization_outputs(tmp_path):
     p2 = field_heatmaps(solver, n=20, out_path=str(tmp_path / "fields.png"))
     assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
 
+    # centerline profiles, with and without a DNS overlay
+    from nsfnet_tpu.utils.visualization import centerline_profiles
+
+    g = np.linspace(0, 1, 9).astype(np.float32)
+    X, Y = np.meshgrid(g, g)
+    col = lambda a: a.reshape(-1, 1)
+    fields = (col(X), col(Y), col(np.sin(X)), col(np.cos(Y)),
+              col(np.zeros_like(X)))
+    p3 = centerline_profiles(solver, fields,
+                             out_path=str(tmp_path / "profiles.png"))
+    p4 = centerline_profiles(solver, None,
+                             out_path=str(tmp_path / "profiles_bare.png"))
+    assert os.path.getsize(p3) > 0 and os.path.getsize(p4) > 0
+
 
 def test_microbatched_step_matches_full_batch():
     """Gradient accumulation over microbatches is mathematically identical
