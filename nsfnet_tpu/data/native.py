@@ -21,14 +21,29 @@ _F = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 _I = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 
 
+def _find_lib() -> Optional[str]:
+    """Search order: explicit env override, the installed package's
+    bundled copy (built by `python setup.py build_native` / pip install),
+    then the source-tree layout (`make -C native`)."""
+    env = os.environ.get("NSFNET_POINTGEN_LIB")
+    if env:
+        return env if os.path.exists(env) else None
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg_dir)
+    for path in (os.path.join(pkg_dir, "_native", "libpointgen.so"),
+                 os.path.join(repo, "native", "libpointgen.so")):
+        if os.path.exists(path):
+            return path
+    return None
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(here, "native", "libpointgen.so")
-    if not os.path.exists(path):
+    path = _find_lib()
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)

@@ -1,5 +1,6 @@
 """Native point-generation library (native/libpointgen.so) vs NumPy fallbacks."""
 
+import os
 import numpy as np
 import pytest
 
@@ -66,3 +67,33 @@ def test_cavity_data_native_vs_python_paths():
         pts = np.concatenate([x, y], axis=1).astype(np.float64)
         d = min_distance_to_points(pts, data.pts_bc)
         assert np.all(np.diff(d) >= -1e-9)  # sorted by boundary distance
+
+
+def test_packaged_native_build_and_env_override(tmp_path):
+    """`python setup.py build_native` compiles the ctypes library into
+    nsfnet_tpu/_native/ and the loader honors NSFNET_POINTGEN_LIB."""
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if shutil.which("g++") is None and shutil.which("clang++") is None:
+        pytest.skip("no C++ toolchain")
+    r = subprocess.run([sys.executable, "setup.py", "build_native"],
+                       cwd=repo, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:]
+    built = os.path.join(repo, "nsfnet_tpu", "_native", "libpointgen.so")
+    assert os.path.exists(built)
+
+    # env override wins over both search-path copies
+    probe = (
+        "import os\n"
+        f"os.environ['NSFNET_POINTGEN_LIB'] = {built!r}\n"
+        "from nsfnet_tpu.data import native\n"
+        f"assert native._find_lib() == {built!r}\n"
+        "assert native.available()\n"
+        "print('OK')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", probe], cwd=repo,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-1000:]
