@@ -180,31 +180,58 @@ def main(argv=None):
         import copy as _copy
 
         from nsfnet_tpu.models.mlp import widen_mlp_params
+        from nsfnet_tpu.parallel import mesh as pmesh
         from nsfnet_tpu.training import checkpoint as ckpt_mod
 
+        # Donor architecture: metadata stamp -> shapes read straight from
+        # the serialized state (pre-stamp checkpoints) -> explicit flag.
+        # flax.from_bytes silently restores mismatched shapes into a
+        # template, so getting this wrong must be caught HERE, not at the
+        # first (post-compile) train step.
         meta = ckpt_mod.load_metadata(init_from) or {}
-        donor_hidden = int(meta.get("hidden_size")
+        arch = ckpt_mod.peek_architecture(init_from) or {}
+        donor_hidden = int(meta.get("hidden_size") or arch.get("hidden_size")
                            or getattr(args, "init_hidden", 0)
                            or cfg.network.hidden_size)
+        donor_layers = int(meta.get("layers") or arch.get("layers")
+                           or cfg.network.layers)
+        if donor_layers != cfg.network.layers:
+            logger.error(
+                f"--init-from: donor has {donor_layers} layers, config has "
+                f"{cfg.network.layers} — depth transfer is not supported")
+            return 2
+        if donor_hidden > cfg.network.hidden_size:
+            logger.error(
+                f"--init-from: donor hidden_size {donor_hidden} exceeds the "
+                f"config's {cfg.network.hidden_size} — widening only; use a "
+                f"config at least as wide as the donor")
+            return 2
+        if meta.get("backbone", "mlp") != "mlp" or cfg.network.backbone != "mlp":
+            logger.error("--init-from supports the MLP backbone only")
+            return 2
         dcfg = _copy.deepcopy(cfg)
         dcfg.network.hidden_size = donor_hidden
         donor = build_solver(dcfg)
         donor.set_boundary_data(X=data.boundary_data())
-        donor.set_eq_training_data(X=data.training_data(),
+        # reuse the solver's collocation draw: a fresh training_data() call
+        # here would advance the sampler, and checkpoints would then stamp
+        # sampler state for points the solver never trained on (breaking
+        # bit-exact watchdog resume)
+        donor.set_eq_training_data(X=solver.eq_points(),
                                    weights=data.sdf_weights)
         donor.load(init_from)
         params, params_evm = donor.state.params, donor.state.params_evm
         del donor
         if donor_hidden != cfg.network.hidden_size:
-            if cfg.network.backbone != "mlp":
-                logger.error("--init-from widening is MLP-only")
-                return 2
             params = widen_mlp_params(params, cfg.network.hidden_size,
                                       jax.random.PRNGKey(cfg.training.seed))
             logger.info(f"warm-start: widened h{donor_hidden} -> "
                         f"h{cfg.network.hidden_size} (function-preserving)")
-        solver.state = solver.state._replace(params=params,
-                                             params_evm=params_evm)
+        rep = pmesh.replicated_sharding(solver.mesh)
+        solver.state = solver.state._replace(
+            params=jax.device_put(params, rep),
+            params_evm=(jax.device_put(params_evm, rep)
+                        if params_evm is not None else None))
         solver.refresh_vis_t()
         logger.info(f"warm-start from {init_from}: params only; fresh "
                     f"optimizer, schedule from step 0")

@@ -48,3 +48,29 @@ def load_metadata(path: str) -> Optional[dict]:
         with open(meta_path) as f:
             return json.load(f)
     return None
+
+
+def peek_architecture(path: str) -> Optional[dict]:
+    """Read the main/EVM network shapes straight from the serialized
+    state, no template needed (flax.from_bytes silently restores
+    mismatched shapes into a template, so shape errors must be caught
+    BEFORE building a donor template — train.py --init-from)."""
+    from flax import serialization
+
+    try:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        params = raw["params"]
+        n = len(params)
+        arch = {
+            "layers": n - 1,
+            "hidden_size": int(params["0"]["0"].shape[1]),
+            "num_ins": int(params["0"]["0"].shape[0]),
+        }
+        if raw.get("params_evm"):
+            evm = raw["params_evm"]
+            arch["layers_1"] = len(evm) - 1
+            arch["hidden_size_1"] = int(evm["0"]["0"].shape[1])
+        return arch
+    except Exception:
+        return None

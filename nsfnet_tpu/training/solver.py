@@ -237,6 +237,12 @@ class PINNSolver:
             # the new draw has the same shape (per-stage resampling)
             self._vis_stale = True
 
+    def eq_points(self):
+        """The currently-installed (x_f, y_f) collocation columns — lets a
+        second solver (e.g. the --init-from donor) share this exact draw
+        without advancing the dataset's sampler state."""
+        return self._eq
+
     def _init_vis_t(self):
         """vis_t_minus := alpha_evm*|e(x_f)| with the current EVM net
         (parity: init_vis_t, ev-NSFnet/pinn_solver.py:138-140)."""

@@ -121,11 +121,22 @@ def centerline_profiles(solver, eval_fields=None, out_path: str = "profiles.png"
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # Work in the data's own coordinate frame: with
+    # training.coordinate_transform the domain is [-1,1] and the
+    # centerlines sit at 0, not 0.5 — infer the frame from the DNS grid
+    # when given so prediction and overlay share the same physical lines.
     n = 257
-    g = np.linspace(0.0, 1.0, n)
-    half = np.full(n, 0.5)
-    u_c, _, _, _ = solver.neural_net_u(half, g)      # u(0.5, y)
-    _, v_c, _, _ = solver.neural_net_u(g, half)      # v(x, 0.5)
+    if eval_fields is not None:
+        x_all = np.asarray(eval_fields[0]).ravel()
+        y_all = np.asarray(eval_fields[1]).ravel()
+        lo, hi = float(x_all.min()), float(x_all.max())
+    else:
+        lo, hi = 0.0, 1.0
+    mid = 0.5 * (lo + hi)
+    g = np.linspace(lo, hi, n)
+    half = np.full(n, mid)
+    u_c, _, _, _ = solver.neural_net_u(half, g)      # u(mid, y)
+    _, v_c, _, _ = solver.neural_net_u(g, half)      # v(x, mid)
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.5))
     ax1.plot(np.asarray(u_c), g, "-", lw=2, label="prediction")
@@ -133,9 +144,11 @@ def centerline_profiles(solver, eval_fields=None, out_path: str = "profiles.png"
 
     if eval_fields is not None:
         x, y, u, v, _ = (np.asarray(a).ravel() for a in eval_fields)
-        tol = 0.5 * np.min(np.diff(np.unique(np.round(x, 9)))) if x.size else 0.0
-        on_v = np.abs(x - 0.5) <= tol   # vertical centerline samples
-        on_h = np.abs(y - 0.5) <= tol
+        # nearest-grid-line selection (robust to even-sized grids where
+        # the exact centerline falls between two columns)
+        ux, uy = np.unique(x), np.unique(y)
+        on_v = x == ux[np.argmin(np.abs(ux - mid))]
+        on_h = y == uy[np.argmin(np.abs(uy - mid))]
         if on_v.any():
             o = np.argsort(y[on_v])
             ax1.plot(u[on_v][o], y[on_v][o], "k.", ms=3, label="DNS")
@@ -143,10 +156,10 @@ def centerline_profiles(solver, eval_fields=None, out_path: str = "profiles.png"
             o = np.argsort(x[on_h])
             ax2.plot(x[on_h][o], v[on_h][o], "k.", ms=3, label="DNS")
 
-    ax1.set_xlabel("u(0.5, y)")
+    ax1.set_xlabel(f"u({mid:g}, y)")
     ax1.set_ylabel("y")
     ax2.set_xlabel("x")
-    ax2.set_ylabel("v(x, 0.5)")
+    ax2.set_ylabel(f"v(x, {mid:g})")
     for ax in (ax1, ax2):
         ax.grid(alpha=0.3)
         ax.legend()

@@ -13,7 +13,11 @@
 # exit 0 at that time (campaign resumes later from the newest checkpoint);
 # frees the chip for a scheduled benchmark without losing work.
 set -u
-CONFIG="$1"; LOG="$2"; STALE="${3:-600}"; shift; shift; [ $# -gt 0 ] && shift
+CONFIG="$1"; LOG="$2"; shift 2
+STALE=600
+if [ $# -gt 0 ] && [[ "$1" =~ ^[0-9]+$ ]]; then
+  STALE="$1"; shift   # stale_secs is optional; cold args may follow directly
+fi
 COLD_ARGS=("$@")
 DEADLINE="${WATCHDOG_DEADLINE_TS:-0}"
 RESULTS_DIR=$(python - "$CONFIG" <<'PY'
@@ -55,6 +59,14 @@ while true; do
   if wait "$PID" 2>/dev/null; then
     echo "[watchdog] training completed" >> "$LOG"
     exit 0
+  else
+    RC=$?
+    if [ "$RC" -eq 2 ]; then
+      # argparse/config errors are deterministic — restarting would loop
+      # forever (e.g. a typoed --init-from path); fail fast instead
+      echo "[watchdog] trainer exited with a configuration error (rc=2) - aborting" >> "$LOG"
+      exit 1
+    fi
   fi
   echo "[watchdog] run ended abnormally - restarting" >> "$LOG"
   sleep 10

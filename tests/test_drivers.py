@@ -321,3 +321,56 @@ def test_warm_start_init_from_widens(tmp_path, monkeypatch):
     meta = ckpt_mod.load_metadata(finals[0])
     assert meta["global_step"] == 10, meta  # fresh schedule, not donor's 70
     assert meta["hidden_size"] == 16, meta
+
+
+def test_warm_start_peek_and_guards(tmp_path, monkeypatch):
+    """--init-from on a PRE-STAMP checkpoint (no hidden_size in metadata)
+    still widens correctly — the donor architecture is read from the
+    serialized shapes (peek_architecture). A donor WIDER than the config
+    fails fast with exit 2 (before any compile)."""
+    import json
+
+    import textwrap as tw
+
+    from nsfnet_tpu.train import main
+    from nsfnet_tpu.training import checkpoint as ckpt_mod
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _tiny_config(tmp_path)
+    assert main(_args(cfg)) == 0  # donor: h12
+    donor_ckpt = sorted(
+        glob.glob(str(tmp_path / "results" / "**" / "model_final.ckpt"),
+                  recursive=True), key=os.path.getmtime)[-1]
+    # simulate a checkpoint written before architecture stamping
+    meta_path = donor_ckpt + ".json"
+    meta = json.load(open(meta_path))
+    for k in ("hidden_size", "layers", "backbone"):
+        meta.pop(k, None)
+    json.dump(meta, open(meta_path, "w"))
+    assert ckpt_mod.peek_architecture(donor_ckpt)["hidden_size"] == 12
+
+    wide_cfg = tmp_path / "wide2.yaml"
+    wide_cfg.write_text(tw.dedent(f"""
+        experiment_name: tiny_wide2
+        model_variant: ev-nsfnet
+        physics: {{Re: 100, alpha_evm: 0.01}}
+        network: {{layers: 2, layers_1: 2, hidden_size: 16, hidden_size_1: 8}}
+        eval_data: {tmp_path}/dns.mat
+        training:
+          N_f: 128
+          log_interval: 50
+          enable_tensorboard: false
+          sort_training_points: false
+          checkpoint_freq: 1000000
+          checkpoint_dir: {tmp_path}/results_wide2
+          training_stages:
+            - {{alpha: 0.01, epochs: 10, lr: 1.0e-4, name: P1}}
+    """))
+    assert main(_args(str(wide_cfg), init_from=donor_ckpt)) == 0
+    finals = glob.glob(str(tmp_path / "results_wide2" / "**" /
+                           "model_final.ckpt"), recursive=True)
+    meta2 = ckpt_mod.load_metadata(finals[0])
+    assert meta2["hidden_size"] == 16  # peek found h12 and widening ran
+
+    # donor wider than the config: loud exit 2, no silent shape mangling
+    assert main(_args(cfg, init_from=finals[0])) == 2

@@ -64,33 +64,20 @@ def test_watchdog_completes_and_cold_args_reach_trainer(tmp_path):
     assert r.returncode == 0, log.read_text()[-2000:]
     assert "training completed" in log.read_text()
 
-    # cold args are forwarded verbatim on a cold start
+    # cold args are forwarded verbatim on a cold start — note stale_secs is
+    # OMITTED here (the parser must not eat the first cold arg as a stale
+    # value) — and a deterministic config error (unknown flag -> argparse
+    # exit 2) aborts the watchdog instead of crash-looping all night
     log2 = tmp_path / "run2.log"
     cfg2 = _config(tmp_path, epochs=40, name="wd2")  # fresh ckpt dir: cold start
-    p = subprocess.Popen(
-        ["bash", WATCHDOG, cfg2, str(log2), "600", "--no-such-flag"],
-        env=env, cwd=str(tmp_path))
-    try:
-        # trainer exits 2 on the unknown flag; watchdog loops — give it one
-        # launch cycle then stop it
-        import time
-
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if log2.exists() and "--no-such-flag" in (
-                    log2.read_text() + ""):
-                break
-            time.sleep(1)
-        assert "--no-such-flag" in log2.read_text(), log2.read_text()[-1000:]
-    finally:
-        p.kill()
-        p.wait()
-        pid_file = tmp_path / "run2.log.pid"
-        if pid_file.exists():
-            try:
-                os.kill(int(pid_file.read_text().strip()), 9)
-            except (ProcessLookupError, ValueError):
-                pass
+    r = subprocess.run(
+        ["bash", WATCHDOG, cfg2, str(log2), "--no-such-flag"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=180)
+    text = log2.read_text()
+    assert "--no-such-flag" in text, text[-1000:]      # reached trainer argv
+    assert r.returncode == 1, text[-1000:]             # fail-fast, no loop
+    assert "configuration error" in text, text[-1000:]
 
 
 def test_watchdog_deadline_stops_cleanly(tmp_path):
