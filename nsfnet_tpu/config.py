@@ -99,6 +99,16 @@ class TrainingConfig:
     # below `stall_threshold` -> advance to the next stage
     stall_threshold: float = 0.02
     stall_window: int = 3
+    # Gradient-pathology loss balancing (Wang/Teng/Perdikaris 2021; PAPERS.md
+    # "Stabilized Adaptive Loss"): at every log boundary, re-weight the
+    # boundary loss toward lambda_bc ~ ||grad L_eq|| / ||grad L_bc|| with an
+    # EMA — replaces the reference's hand-tuned fixed bc_weight=10. The
+    # probe runs OUTSIDE the jitted scan (one extra backward per
+    # log_interval steps, amortized ~0%), and bc_weight is already a
+    # runtime scalar, so updates never retrace.
+    adaptive_bc_weight: bool = False
+    adaptive_bc_ema: float = 0.9       # EMA retention per update
+    adaptive_bc_max: float = 1000.0    # clip for the target ratio
     training_stages: List[TrainingStage] = field(default_factory=lambda: [
         TrainingStage(0.05, 500000, 1e-3, "Stage 1"),
         TrainingStage(0.03, 500000, 2e-4, "Stage 2"),

@@ -83,6 +83,9 @@ def build_solver(cfg, mesh=None) -> PINNSolver:
         loss_mode=cfg.training.loss_mode,
         checkpoint_freq=cfg.training.checkpoint_freq,
         checkpoint_path=cfg.training.checkpoint_dir,
+        adaptive_bc_weight=cfg.training.adaptive_bc_weight,
+        adaptive_bc_ema=cfg.training.adaptive_bc_ema,
+        adaptive_bc_max=cfg.training.adaptive_bc_max,
     )
 
 

@@ -99,6 +99,9 @@ class PINNSolver:
         # see train_lm / training/lm.py run_lm_micro)
         fourier_features: int = 0,  # random Fourier input embedding size for
         fourier_sigma: float = 3.0,  # the main MLP (0 = off; generic engine)
+        adaptive_bc_weight: bool = False,  # grad-norm loss balancing
+        adaptive_bc_ema: float = 0.9,      # (config.py adaptive_bc_*)
+        adaptive_bc_max: float = 1000.0,
     ):
         self.max_chunk = max_chunk
         self.microbatches = max(1, int(microbatches))
@@ -124,6 +127,10 @@ class PINNSolver:
         self.current_lr = learning_rate
         self.current_re = self.Re
         self.current_alpha_b = self.alpha_b
+        self.adaptive_bc_weight = bool(adaptive_bc_weight)
+        self.adaptive_bc_ema = float(adaptive_bc_ema)
+        self.adaptive_bc_max = float(adaptive_bc_max)
+        self._gnr_fn = None  # jitted grad-norm-ratio probe (built lazily)
         self.coord_scale = 1.0
         self.layers = layers
         self.hidden_size = hidden_size
@@ -421,6 +428,7 @@ class PINNSolver:
         # diagnostics/L-BFGS loss: XLA engine, no collectives — valid under
         # plain jit on any mesh (math identical to the pallas engine, tested)
         self._loss_fn = self._make_loss("xla", None)
+        self._gnr_fn = None  # probe closes over _loss_fn; rebuild with it
         if self.microbatches > 1:
             from nsfnet_tpu.training.step import make_microbatched_train_step
 
@@ -450,6 +458,56 @@ class PINNSolver:
             re=jnp.float32(self.current_re),
             alpha_b=jnp.float32(self.current_alpha_b),
         )
+
+    def _grad_norm_ratio(self, sc) -> float:
+        """||grad_theta L_eq|| / ||grad_theta L_bc|| over the MAIN net's
+        params on the current batch — the balance signal for adaptive
+        bc-weighting (gradient-pathology recipe). Uses the XLA diagnostic
+        loss (self._loss_fn), valid under plain jit on any mesh; the raw
+        (unweighted) boundary component is differentiated so the current
+        lambda_bc does not feed back into its own update."""
+        if self._gnr_fn is None:
+            lf = self._loss_fn
+
+            @jax.jit
+            def gnr(state, batch, sc):
+                def eq_part(p):
+                    val, _ = lf.eq_loss_fn((p, state.params_evm), batch.x_f,
+                                           batch.y_f, batch.eq_w, batch.n_f,
+                                           state.vis_t_minus, sc)
+                    return val
+
+                def bc_part(p):
+                    _, (loss_b, _) = lf.aux_loss_fn((p, state.params_evm),
+                                                    batch, sc)
+                    return loss_b
+
+                def norm(tree):
+                    leaves = jax.tree_util.tree_leaves(tree)
+                    return jnp.sqrt(sum(jnp.vdot(g, g).real for g in leaves))
+
+                g_eq = norm(jax.grad(eq_part)(state.params))
+                g_bc = norm(jax.grad(bc_part)(state.params))
+                return g_eq / (g_bc + 1e-12)
+
+            self._gnr_fn = gnr
+        return float(self._gnr_fn(self.state, self._batch, sc))
+
+    def _update_adaptive_bc(self, sc, lr: float):
+        """EMA the boundary weight toward the measured grad-norm ratio and
+        rebuild the runtime stage scalars (no retrace: alpha_b is already a
+        runtime scalar)."""
+        ratio = self._grad_norm_ratio(sc)
+        if not np.isfinite(ratio):
+            return sc
+        target = float(np.clip(ratio, 1.0, self.adaptive_bc_max))
+        m = self.adaptive_bc_ema
+        self.current_alpha_b = m * self.current_alpha_b + (1.0 - m) * target
+        if self.rank == 0:
+            self.logger.info(
+                f"  adaptive bc_weight -> {self.current_alpha_b:.3f} "
+                f"(grad-norm ratio {ratio:.3f})")
+        return self._stage_scalars(lr)
 
     def train(self, num_epoch: int = 1, lr: float = 1e-4, optimizer: str = "adam",
               Re: Optional[float] = None, bc_weight: Optional[float] = None,
@@ -533,6 +591,8 @@ class PINNSolver:
                 last_log_t, last_log_e = now, done
                 if done > 1:  # epoch-1 loss is pre-descent; skip it
                     eq_track.append(float(m.equation))
+                if self.adaptive_bc_weight and done < num_epoch:
+                    sc = self._update_adaptive_bc(sc, lr)
             if (done == 1 and num_epoch >= self.checkpoint_freq) \
                     or done % self.checkpoint_freq == 0:
                 last_ckpt = self.save(f"model_cavity_loop{done}.ckpt") or last_ckpt
@@ -853,6 +913,7 @@ class PINNSolver:
             "global_step": self.global_step,
             "Re": self.Re,
             "alpha_evm": self.alpha_evm,
+            "alpha_b": self.current_alpha_b,
             "stage": self.current_stage,
             # architecture stamp so --init-from can rebuild the donor
             # template without being told the shape (train.py warm-start)
@@ -882,6 +943,8 @@ class PINNSolver:
         if meta:
             self.global_step = int(meta.get("global_step", self.global_step))
             self.current_stage = meta.get("stage", self.current_stage)
+            if "alpha_b" in meta:  # adaptive bc-weight survives resume
+                self.current_alpha_b = float(meta["alpha_b"])
         vtm = self.state.vis_t_minus
         if vtm is not None and self._eq is not None:
             # A checkpoint's carry uses the WRITER's batch padding (e.g.

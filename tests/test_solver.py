@@ -624,3 +624,41 @@ def test_stall_advance_ends_stage_early(tmp_path):
     solver2.train(num_epoch=60, lr=1e-3, advance_on_stall=True,
                   stall_threshold=0.01, stall_window=2)
     assert int(solver2.state.epoch_in_stage) == 60
+
+
+def test_adaptive_bc_weight_balances_and_checkpoints(tmp_path):
+    """Gradient-pathology loss balancing: with adaptive_bc_weight on, the
+    boundary weight moves from its static value toward the measured
+    ||grad L_eq||/||grad L_bc|| ratio at log boundaries, the adapted value
+    rides checkpoint metadata across save/load, and the default-off path
+    leaves the weight untouched."""
+    solver = _make_solver(adaptive_bc_weight=True, log_interval=10,
+                          bc_weight=10.0)
+    _attach_data(solver)
+
+    # probe sanity: finite positive scalar
+    solver._ensure_ready()
+    r = solver._grad_norm_ratio(solver._stage_scalars(1e-3))
+    assert np.isfinite(r) and r > 0
+
+    solver.train(num_epoch=30, lr=1e-3)  # 3 log boundaries -> >=2 updates
+    adapted = solver.current_alpha_b
+    assert adapted != 10.0
+    assert np.isfinite(adapted) and adapted >= 1.0
+    # EMA moved toward the clipped ratio, not to an arbitrary value
+    target = float(np.clip(r, 1.0, solver.adaptive_bc_max))
+    lo, hi = sorted((10.0, target))
+    assert lo * 0.3 <= adapted <= hi * 3.0
+
+    # the adapted weight rides checkpoint metadata
+    path = solver.save("adaptive.ckpt", directory=str(tmp_path))
+    fresh = _make_solver(adaptive_bc_weight=True)
+    _attach_data(fresh)
+    fresh.load(path)
+    assert fresh.current_alpha_b == pytest.approx(adapted)
+
+    # default-off: the weight never moves
+    off = _make_solver(log_interval=10)
+    _attach_data(off)
+    off.train(num_epoch=30, lr=1e-3)
+    assert off.current_alpha_b == 10.0
