@@ -45,6 +45,17 @@ from nsfnet_tpu.training.step import (
 from nsfnet_tpu.utils.tensorboard import ScalarWriter
 
 
+def stall_gain(eq_track, window: int) -> float:
+    """Relative improvement of the best (minimum) equation loss achieved in
+    the last `window` log intervals over the best before them. Minimum-based
+    so eq-loss oscillation around a converged value reads as ~0 gain while a
+    noisy-but-descending track reads positive (endpoint-to-endpoint deltas
+    fire on transient upticks — observed in the Re=5000 gentle campaign)."""
+    best_before = min(eq_track[:-window])
+    best_now = min(eq_track[-window:])
+    return (best_before - best_now) / max(abs(best_before), 1e-30)
+
+
 class PINNSolver:
     """2-D steady cavity PINN solver (vanilla NSFnet or ev-NSFnet variant).
 
@@ -598,14 +609,19 @@ class PINNSolver:
                 last_ckpt = self.save(f"model_cavity_loop{done}.ckpt") or last_ckpt
             if (advance_on_stall and done >= max(stall_min_epochs, 1)
                     and done < num_epoch and len(eq_track) > stall_window):
-                prev, cur = eq_track[-1 - stall_window], eq_track[-1]
-                gain = (prev - cur) / max(abs(prev), 1e-30)
+                # Oscillation-robust criterion: the stage is stalled only
+                # when the last `stall_window` log intervals failed to set a
+                # meaningfully better MINIMUM than everything before them.
+                # (An endpoint-to-endpoint gain fires on eq-loss noise: the
+                # Re=5000 gentle campaign advanced stages mid-convergence on
+                # transient upticks — VALIDATION.md.)
+                gain = stall_gain(eq_track, stall_window)
                 if gain < stall_threshold:
                     if self.rank == 0:
                         self.logger.info(
                             f"[{self.current_stage}] stalled at epoch {done}/"
-                            f"{num_epoch}: eq-loss gain {gain * 100:.2f}% over "
-                            f"{stall_window} log intervals < "
+                            f"{num_epoch}: best eq-loss gain {gain * 100:.2f}% "
+                            f"over {stall_window} log intervals < "
                             f"{stall_threshold * 100:.2f}% — advancing stage")
                     # fast-forward the global step to the stage end so the
                     # driver's stage<->step mapping (and a watchdog resume

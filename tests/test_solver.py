@@ -662,3 +662,23 @@ def test_adaptive_bc_weight_balances_and_checkpoints(tmp_path):
     _attach_data(off)
     off.train(num_epoch=30, lr=1e-3)
     assert off.current_alpha_b == 10.0
+
+
+def test_stall_gain_criterion():
+    """Min-based stall gain: flat -> ~0 (stall), oscillating-but-improving
+    -> positive (no stall), oscillating around a floor -> ~0 even when the
+    endpoint delta is large (the Re=5000 false-fire mode)."""
+    from nsfnet_tpu.training.solver import stall_gain
+
+    flat = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    assert abs(stall_gain(flat, 3)) < 1e-12
+
+    improving_noisy = [1.0, 0.8, 0.9, 0.6, 0.75, 0.5]
+    assert stall_gain(improving_noisy, 3) > 0.1
+
+    # converged + noise: last value jumps UP 50% vs 3-intervals-ago —
+    # endpoint gain would be -50% (fires); min-based reads ~0 improvement
+    # but NOT a huge negative
+    osc_floor = [1.0, 0.5, 0.48, 0.52, 0.49, 0.72]
+    g = stall_gain(osc_floor, 3)
+    assert -0.05 < g < 0.05
