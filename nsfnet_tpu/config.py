@@ -109,6 +109,12 @@ class TrainingConfig:
     adaptive_bc_weight: bool = False
     adaptive_bc_ema: float = 0.9       # EMA retention per update
     adaptive_bc_max: float = 1000.0    # clip for the target ratio
+    # Max steps per device dispatch. The TPU runtime kills a worker whose
+    # single dispatch runs ~>30 s; 2000 steps fits at the 6x80 production
+    # size (~31 s at 63.8 it/s — measured at the edge), but WIDER nets need
+    # a smaller chunk (h160 at 2000 steps exceeded the limit and
+    # crash-looped the worker).
+    max_chunk: int = 2000
     training_stages: List[TrainingStage] = field(default_factory=lambda: [
         TrainingStage(0.05, 500000, 1e-3, "Stage 1"),
         TrainingStage(0.03, 500000, 2e-4, "Stage 2"),

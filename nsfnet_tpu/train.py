@@ -86,6 +86,7 @@ def build_solver(cfg, mesh=None) -> PINNSolver:
         adaptive_bc_weight=cfg.training.adaptive_bc_weight,
         adaptive_bc_ema=cfg.training.adaptive_bc_ema,
         adaptive_bc_max=cfg.training.adaptive_bc_max,
+        max_chunk=cfg.training.max_chunk,
     )
 
 
