@@ -89,5 +89,32 @@ def main():
     return 0
 
 
+def _device_healthy(timeout_s: float = 180.0) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout. A hung
+    remote TPU worker blocks inside the runtime (uninterruptible from
+    Python), so the probe must be a separate process — the bench contract
+    is one JSON line, never a hang."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "(jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready(); "
+            "print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _device_healthy():
+        print(json.dumps({
+            "metric": "collocation_points_per_sec_per_chip_re2000",
+            "value": 0.0,
+            "unit": "points/s/chip",
+            "vs_baseline": 0.0,
+            "error": "accelerator unavailable (device probe hung/failed)",
+        }))
+        sys.exit(1)
     sys.exit(main())
