@@ -94,6 +94,12 @@ class TrainingConfig:
     lm_microbatches: int = 1  # LM Gauss-Newton product slicing (memory)
     loss_mode: str = "MSE"  # MSE | L2 (NSFnet/pinn_solver.py:201-218)
     resample_each_stage: bool = False  # draw fresh collocation points per stage
+    # Residual-aware resampling (RAR) for resample_each_stage: 0 = plain
+    # uniform redraw; >0 = each per-stage redraw scores a rar_pool_mult x
+    # N_f candidate pool with the current nets' PDE residual and keeps the
+    # worst rar_top_frac x N_f points (fresh uniform fill for the rest).
+    rar_pool_mult: int = 0
+    rar_top_frac: float = 0.5
     # stall detector for stages with advance_on_stall: relative equation-
     # loss improvement across `stall_window` consecutive log intervals
     # below `stall_threshold` -> advance to the next stage
@@ -224,6 +230,14 @@ class ConfigManager:
             warnings.append("N_f must be > 0")
         if c.model_variant not in ("nsfnet", "ev-nsfnet", "kan"):
             warnings.append(f"unknown model_variant {c.model_variant!r}")
+        if c.training.rar_pool_mult < 0:
+            warnings.append("rar_pool_mult must be >= 0 (0 = off)")
+        if c.training.rar_pool_mult > 0:
+            if not 0.0 < c.training.rar_top_frac <= 1.0:
+                warnings.append("rar_top_frac must be in (0, 1]")
+            if not c.training.resample_each_stage:
+                warnings.append("rar_pool_mult > 0 has no effect without "
+                                "resample_each_stage: true")
         for i, st in enumerate(c.training.training_stages, 1):
             if st.optimizer not in ("adam", "lbfgs", "lm"):
                 warnings.append(f"unknown stage optimizer {st.optimizer!r}")

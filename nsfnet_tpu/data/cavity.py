@@ -77,6 +77,12 @@ class CavityData:
         self.sdf_weights: Optional[np.ndarray] = None
         self._pre_draw_rng_state = self._rng.bit_generator.state
         self._state_is_pre_draw = True  # no draw has consumed the state yet
+        self._last_rar: Optional[dict] = None    # spec of the most recent
+        # draw IF it was residual-aware (rar_training_data) — rides in
+        # get_state() so a resume reconstructs the mixed set without
+        # re-scoring (scores depend on params the restorer no longer has)
+        self._rar_replay: Optional[dict] = None  # pending spec installed by
+        # set_state(): the next training_data() call replays it
 
     # ------------------------------------------------ sampler checkpointing
     # (SURVEY §5.4 full-state resume: a watchdog restart during a
@@ -93,17 +99,31 @@ class CavityData:
             # between set_state() and the next draw: counter/rng already
             # point AT the next draw, not past it
             draws_next, rng_state = self._draws, self._rng.bit_generator.state
+            rar = self._rar_replay
         else:
             draws_next = max(self._draws - 1, 0)
             rng_state = self._pre_draw_rng_state
+            rar = self._last_rar
         from nsfnet_tpu.data import native
 
-        return {
+        s = {
             "draws_next": draws_next,
             "native_seed": int(self._native_seed),
             "rng_state": rng_state,
             "native": bool(self.use_native and native.available()),
         }
+        if rar is not None:
+            import base64
+
+            s["rar"] = {
+                "pool_mult": int(rar["pool_mult"]),
+                "top_frac": float(rar["top_frac"]),
+                # uint32 little-endian, base64 — JSON-safe at N_f=120k scale
+                "keep_idx": base64.b64encode(
+                    np.asarray(rar["keep_idx"], dtype="<u4").tobytes()
+                ).decode("ascii"),
+            }
+        return s
 
     def set_state(self, s: dict) -> None:
         from nsfnet_tpu.data import native
@@ -130,6 +150,21 @@ class CavityData:
             self._rng.bit_generator.state = st
             self._pre_draw_rng_state = st
         self._state_is_pre_draw = True
+        r = s.get("rar")
+        if r is not None:
+            idx = r["keep_idx"]
+            if isinstance(idx, str):
+                import base64
+
+                idx = np.frombuffer(base64.b64decode(idx), dtype="<u4")
+            self._rar_replay = {
+                "pool_mult": int(r["pool_mult"]),
+                "top_frac": float(r["top_frac"]),
+                "keep_idx": np.asarray(idx, dtype=np.int64),
+            }
+        else:
+            self._rar_replay = None
+        self._last_rar = None
 
     @property
     def coord_scale(self) -> float:
@@ -164,18 +199,91 @@ class CavityData:
         coordinate frame), like the reference."""
         if self.pts_bc is None:
             raise RuntimeError("load boundary data first (fixes the coordinate frame)")
+        self._pre_draw_rng_state = self._rng.bit_generator.state
+        self._state_is_pre_draw = False
+        if self._rar_replay is not None:
+            # restored mid-campaign: reconstruct the residual-aware mixed
+            # set from the stored selection — raw-draw order (pool, fill)
+            # matches rar_training_data exactly, so the RNG/native streams
+            # stay aligned with the writer's
+            spec, self._rar_replay = self._rar_replay, None
+            keep_idx = np.asarray(spec["keep_idx"], dtype=np.int64)
+            pool = self._raw_draw(int(spec["pool_mult"]) * self.N_f)
+            fill = self._raw_draw(self.N_f - keep_idx.shape[0], salt=3571)
+            xye = np.concatenate([pool[keep_idx], fill], axis=0)
+            self._last_rar = spec
+        else:
+            xye = self._raw_draw(self.N_f)
+            self._last_rar = None
+        self._draws += 1
+        return self._finalize(xye)
+
+    def rar_training_data(self, score_fn, pool_mult: int = 4,
+                          top_frac: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
+        """Residual-aware resample (RAR): draw a pool_mult x N_f candidate
+        pool, keep the top_frac x N_f points with the largest
+        `score_fn(x, y)` (PDE residual magnitude — solver.residuals_at),
+        fill the remainder with a fresh uniform LH draw. Concentrates
+        collocation where the PDE is violated instead of re-descending the
+        same uniform-draw loss floor. No reference counterpart: ev-NSFnet
+        trains one fixed LHS draw for the entire curriculum
+        (ev-NSFnet/pinn_solver.py:160-184).
+
+        Consumes ONE logical draw: the kept-point indices ride in
+        get_state(), so a watchdog resume replays the identical mixed set
+        via a plain training_data() call — without needing the scores (they
+        depend on the writer's mid-campaign params)."""
+        if self.pts_bc is None:
+            raise RuntimeError("load boundary data first (fixes the coordinate frame)")
+        pool_mult = int(pool_mult)
+        if pool_mult < 1:
+            raise ValueError(f"rar pool_mult must be >= 1, got {pool_mult}")
+        if not 0.0 < float(top_frac) <= 1.0:
+            raise ValueError(f"rar top_frac must be in (0, 1], got {top_frac}")
+        self._pre_draw_rng_state = self._rng.bit_generator.state
+        self._state_is_pre_draw = False
+        pool = self._raw_draw(pool_mult * self.N_f)
+        pts = self._to_centered(pool) if self.coord_transform else pool
+        scores = np.asarray(score_fn(
+            pts[:, 0:1].astype(np.float32), pts[:, 1:2].astype(np.float32)
+        )).reshape(-1)
+        if scores.shape[0] != pool.shape[0]:
+            raise ValueError(
+                f"score_fn returned {scores.shape[0]} scores for "
+                f"{pool.shape[0]} pool points")
+        keep_n = min(self.N_f, max(1, int(round(float(top_frac) * self.N_f))))
+        keep_idx = np.sort(
+            np.argpartition(-scores, keep_n - 1)[:keep_n]).astype(np.int64)
+        fill = self._raw_draw(self.N_f - keep_n, salt=3571)
+        xye = np.concatenate([pool[keep_idx], fill], axis=0)
+        self._last_rar = {"pool_mult": pool_mult, "top_frac": float(top_frac),
+                          "keep_idx": keep_idx}
+        self._rar_replay = None
+        self._draws += 1
+        return self._finalize(xye)
+
+    def _raw_draw(self, n: int, salt: int = 0) -> np.ndarray:
+        """One raw Latin-Hypercube draw of n points in the GENERATION frame
+        (unit square). Does NOT touch the draw-counter bookkeeping — callers
+        own the logical-draw accounting. `salt` separates multiple raw draws
+        within one logical draw on the native path; salt < 7919 guarantees
+        no collision with any later draw's base seed."""
+        if n <= 0:
+            return np.zeros((0, 2), dtype=np.float64)
+        from nsfnet_tpu.data import native
+
+        bounds = [[0.0, 1.0], [0.0, 1.0]]
+        if self.use_native and native.available():
+            return native.lh_sample(n, bounds,
+                                    self._native_seed + 7919 * self._draws + salt)
+        return latin_hypercube(n, bounds, rng=self._rng)
+
+    def _finalize(self, xye: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Generation-frame points -> training-frame columns: coordinate
+        transform, optional boundary-distance sort, SDF weights."""
         from nsfnet_tpu.data import native
 
         go_native = self.use_native and native.available()
-        bounds = [[0.0, 1.0], [0.0, 1.0]]  # generation frame: unit square
-        self._pre_draw_rng_state = self._rng.bit_generator.state
-        self._state_is_pre_draw = False
-        if go_native:
-            xye = native.lh_sample(self.N_f, bounds,
-                                   self._native_seed + 7919 * self._draws)
-        else:
-            xye = latin_hypercube(self.N_f, bounds, rng=self._rng)
-        self._draws += 1
         if self.coord_transform:
             xye = self._to_centered(xye)
         if self.sort_training_points:

@@ -292,9 +292,22 @@ def main(argv=None):
         if cfg.training.resample_each_stage and i > 0 and not resumed_mid_stage:
             # fresh Latin-Hypercube draw per stage (extension; the reference
             # keeps one fixed point set for the whole run). Same shapes ->
-            # no recompilation.
-            solver.set_eq_training_data(X=data.training_data(),
-                                        weights=data.sdf_weights)
+            # no recompilation. With rar_pool_mult > 0 the redraw is
+            # residual-aware: score a candidate pool with the current nets'
+            # PDE residual and keep the worst points (kept indices ride in
+            # checkpoint metadata, so mid-stage resume replays the set).
+            if cfg.training.rar_pool_mult > 0:
+                X = data.rar_training_data(
+                    solver.residuals_at,
+                    pool_mult=cfg.training.rar_pool_mult,
+                    top_frac=cfg.training.rar_top_frac)
+                logger.info(
+                    f"RAR resample: scored pool "
+                    f"{cfg.training.rar_pool_mult}x{cfg.training.N_f:,}, "
+                    f"kept worst {cfg.training.rar_top_frac:.0%}")
+            else:
+                X = data.training_data()
+            solver.set_eq_training_data(X=X, weights=data.sdf_weights)
         # mid-stage resume trains the FULL stage length starting at the
         # restored epoch_in_stage so the EVM freeze phase stays aligned
         n_epoch = st.epochs if resumed_mid_stage else epochs

@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# Round-4 campaign queue (single chip, sequential, unattended).
+#
+# Priorities (VERDICT r2 "Next round" #1/#2 + round-3 findings):
+#   1. Re=2000 at the REFERENCE architecture (6x80) on the reference's full
+#      3M-epoch curriculum (~13 h at measured 63.8 it/s) — closes the
+#      "<4% at 6x80" question. configs/re2000_6x80_full.yaml
+#   2. Re=4000 widened continuation (h80->h160 warm start, RAR resampling,
+#      stall-aware; ~7 h for the full 720k budget) — pushes past the h80
+#      capacity floor at 11.6%.
+#   3. Re=5000 widened continuation (same recipe; start from the gentle
+#      run's final h80 state at 29.2%).
+#
+# Each campaign runs under the hang-recovery watchdog; a wedged TPU worker
+# (seen 2026-08-17: kill -9 mid-dispatch wedged the axon worker for hours)
+# is handled by the health gate: wait_for_tpu blocks until a subprocess
+# matmul probe succeeds. Set per-campaign deadlines so a slot overrun
+# cannot starve the rest of the round:
+#
+#   ROUND_END_TS=$(date -u -d 'YYYY-MM-DD HH:MM' +%s) scripts/round4_queue.sh
+#
+# Interrupted campaigns resume bit-exactly from their newest checkpoint
+# (sampler/RAR state rides in metadata) on the next queue invocation.
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR="${LOGDIR:-logs/round4}"
+mkdir -p "$LOGDIR"
+ROUND_END_TS="${ROUND_END_TS:-0}"
+
+wait_for_tpu() {
+  # A hung worker blocks INSIDE the runtime — probe in a subprocess with a
+  # hard timeout; never import jax in this shell's parent python.
+  for i in $(seq 1 200); do
+    if timeout 150 python -c 'import jax, jax.numpy as jnp; (jnp.ones((256,256)) @ jnp.ones((256,256))).block_until_ready()' >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "[queue] $(date -u +%H:%M:%S) TPU probe $i failed; retrying in 4 min" | tee -a "$LOGDIR/queue.log"
+    sleep 240
+  done
+  return 1
+}
+
+run_slot() {
+  # run_slot <config> <hours> [cold-start args...]
+  cfg="$1"; hours="$2"; shift 2
+  log="$LOGDIR/$(basename "$cfg" .yaml).log"
+  now=$(date +%s)
+  stop=$((now + hours * 3600))
+  if [ "$ROUND_END_TS" -gt 0 ] && [ "$stop" -gt "$ROUND_END_TS" ]; then
+    stop="$ROUND_END_TS"
+  fi
+  if [ "$stop" -le "$now" ]; then
+    echo "[queue] $(date -u +%H:%M:%S) SKIP $cfg (past deadline)" | tee -a "$LOGDIR/queue.log"
+    return 0
+  fi
+  wait_for_tpu || { echo "[queue] TPU never recovered; aborting" | tee -a "$LOGDIR/queue.log"; return 1; }
+  echo "[queue] $(date -u +%H:%M:%S) starting $cfg (slot ends $(date -u -d "@$stop" +%H:%M))" | tee -a "$LOGDIR/queue.log"
+  WATCHDOG_DEADLINE_TS="$stop" scripts/run_with_watchdog.sh "$cfg" "$log" 900 "$@"
+  echo "[queue] $(date -u +%H:%M:%S) finished $cfg (rc=$?)" | tee -a "$LOGDIR/queue.log"
+}
+
+run_slot configs/re2000_6x80_full.yaml 14
+run_slot configs/re4000_ev_polish_h160.yaml 8 \
+    --init-from artifacts/re4000_gentle/final_state.ckpt
+run_slot configs/re5000_ev_polish_h160.yaml 8 \
+    --init-from artifacts/re5000_gentle/final_state.ckpt
+
+echo "[queue] $(date -u +%H:%M:%S) queue complete" | tee -a "$LOGDIR/queue.log"

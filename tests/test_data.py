@@ -155,3 +155,98 @@ def test_sampler_state_roundtrip_replays_draw_sequence():
         np.testing.assert_array_equal(y2, y2b)
         np.testing.assert_array_equal(x3, x3b)
         np.testing.assert_array_equal(y3, y3b)
+
+
+def _twin_pool(seed, N_f, pool_mult, use_native):
+    """Reconstruct the candidate pool a fresh loader's first RAR draw sees:
+    raw draws are keyed only on (seed, draw counter), so a twin loader's
+    _raw_draw at counter 0 is bit-identical."""
+    t = CavityData(N_f=N_f, sort_training_points=False, seed=seed,
+                   use_native=use_native)
+    t.boundary_data()
+    return t._raw_draw(pool_mult * N_f)
+
+
+def test_rar_keeps_highest_scored_pool_points():
+    # RAR draw = [pool points with the largest score_fn | fresh uniform
+    # fill]; with sorting off the kept block leads the output verbatim
+    from nsfnet_tpu.data import native as native_mod
+
+    for use_native in (True, False):
+        if use_native and not native_mod.available():
+            continue
+        N_f, pool_mult, top_frac = 64, 3, 0.5
+        d = CavityData(N_f=N_f, sort_training_points=False, seed=5,
+                       coord_transform=True, use_native=use_native)
+        d.boundary_data()
+        score = lambda x, y: (x + y).reshape(-1)  # favors top-right corner
+        x, y = d.rar_training_data(score, pool_mult=pool_mult,
+                                   top_frac=top_frac)
+        assert x.shape == (N_f, 1) and y.shape == (N_f, 1)
+
+        pool = _twin_pool(5, N_f, pool_mult, use_native)
+        centered = pool * 2.0 - 1.0  # coord_transform frame
+        s = (centered[:, 0] + centered[:, 1])
+        keep_n = round(top_frac * N_f)
+        expect_idx = np.sort(np.argpartition(-s, keep_n - 1)[:keep_n])
+        np.testing.assert_array_equal(
+            x[:keep_n, 0], centered[expect_idx, 0].astype(np.float32))
+        np.testing.assert_array_equal(
+            y[:keep_n, 0], centered[expect_idx, 1].astype(np.float32))
+        # fill points are inside the domain and fresh (not from the pool)
+        assert np.all(np.abs(x[keep_n:]) <= 1.0)
+        assert x[keep_n:].shape[0] == N_f - keep_n
+
+
+def test_rar_state_roundtrip_replays_without_scores():
+    # The kept-point indices ride in sampler state: a resume replays the
+    # residual-aware mixed set through a PLAIN training_data() call — no
+    # score function (the writer's mid-campaign params are gone), and the
+    # stream continues identically afterwards
+    import json
+
+    from nsfnet_tpu.data import native as native_mod
+
+    for use_native in (True, False):
+        if use_native and not native_mod.available():
+            continue
+        d = CavityData(N_f=96, sort_training_points=False, seed=11,
+                       use_native=use_native)
+        d.boundary_data()
+        d.training_data()  # draw 0: plain
+        score = lambda x, y: np.hypot(x, y).reshape(-1)
+        x1, y1 = d.rar_training_data(score, pool_mult=2, top_frac=0.25)
+        state = json.loads(json.dumps(d.get_state()))  # JSON sidecar trip
+        x2, y2 = d.training_data()  # draw 2: plain, continues the stream
+
+        d2 = CavityData(N_f=96, sort_training_points=False, seed=None,
+                        use_native=use_native)
+        d2.boundary_data()
+        d2.set_state(state)
+        x1b, y1b = d2.training_data()  # replays the RAR draw, scoreless
+        # get_state() as of the replayed draw re-records the same spec (a
+        # second-generation resume still replays the residual-aware set)
+        again = json.loads(json.dumps(d2.get_state()))
+        assert again["rar"] == state["rar"]
+        x2b, y2b = d2.training_data()  # continues to draw 2
+        np.testing.assert_array_equal(x1, x1b)
+        np.testing.assert_array_equal(y1, y1b)
+        np.testing.assert_array_equal(x2, x2b)
+        np.testing.assert_array_equal(y2, y2b)
+
+
+def test_rar_argument_validation():
+    import pytest
+
+    d = CavityData(N_f=32, sort_training_points=False, seed=0,
+                   use_native=False)
+    d.boundary_data()
+    score = lambda x, y: np.zeros(x.shape[0])
+    with pytest.raises(ValueError):
+        d.rar_training_data(score, pool_mult=0)
+    with pytest.raises(ValueError):
+        d.rar_training_data(score, pool_mult=2, top_frac=0.0)
+    with pytest.raises(ValueError):
+        d.rar_training_data(score, pool_mult=2, top_frac=1.5)
+    with pytest.raises(ValueError):
+        d.rar_training_data(lambda x, y: np.zeros(3), pool_mult=2)

@@ -116,7 +116,7 @@ def test_capacity_ladder_driver(tmp_path, monkeypatch):
     assert len(saved) == 2, saved
 
 
-def _resume_config(tmp_path, name, ckpt_dir):
+def _resume_config(tmp_path, name, ckpt_dir, rar=""):
     """3-stage resampling config with a mid-stage checkpoint cadence and a
     small evm_update_freq so the alternating-freeze phase is exercised."""
     mat = str(tmp_path / "dns.mat")
@@ -134,7 +134,7 @@ def _resume_config(tmp_path, name, ckpt_dir):
           log_interval: 1000
           enable_tensorboard: false
           sort_training_points: false
-          resample_each_stage: true
+          resample_each_stage: true{rar}
           evm_update_freq: 10
           checkpoint_freq: 25
           checkpoint_dir: {ckpt_dir}
@@ -193,6 +193,38 @@ def test_resume_mid_stage_bit_exact_with_resampling(tmp_path, monkeypatch):
     # resume run: from the MID-S2 checkpoint (global step 50, S2 epoch 25 of
     # 50 — written after S2's resample, so replay actually matters)
     mid = _ckpt_at_step(dir_a, 50)
+    assert main(_args(cfg_b, resume=mid)) == 0
+
+    state_a = _load_final_state(cfg_a, dir_a, 100)
+    state_b = _load_final_state(cfg_b, dir_b, 100)
+    for name in ("params", "params_evm", "vis_t_minus"):
+        la = jax.tree_util.tree_leaves(getattr(state_a, name))
+        lb = jax.tree_util.tree_leaves(getattr(state_b, name))
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+
+def test_resume_mid_stage_bit_exact_with_rar(tmp_path, monkeypatch):
+    """Same kill-and-resume contract under RESIDUAL-AWARE resampling
+    (rar_pool_mult > 0): the mid-S2 checkpoint's sampler metadata carries
+    the kept-pool indices, so the resumed run reconstructs S2's
+    residual-scored mixed set without the writer's params, and S3's fresh
+    RAR draw re-scores with bit-identical params — end states match the
+    uninterrupted run exactly."""
+    import jax
+
+    from nsfnet_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    rar = "\n          rar_pool_mult: 2\n          rar_top_frac: 0.5"
+    dir_a, dir_b = str(tmp_path / "rar_a"), str(tmp_path / "rar_b")
+    cfg_a = _resume_config(tmp_path, "rar_a", dir_a, rar=rar)
+    cfg_b = _resume_config(tmp_path, "rar_b", dir_b, rar=rar)
+
+    assert main(_args(cfg_a)) == 0
+    mid = _ckpt_at_step(dir_a, 50)  # written after S2's RAR resample
     assert main(_args(cfg_b, resume=mid)) == 0
 
     state_a = _load_final_state(cfg_a, dir_a, 100)
