@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import time
 
 import numpy as np
@@ -21,6 +22,25 @@ from nsfnet_tpu.logger import get_logger
 from nsfnet_tpu.parallel.mesh import initialize_distributed
 from nsfnet_tpu.training.solver import PINNSolver
 from nsfnet_tpu.utils.tensorboard import ScalarWriter
+
+
+class GracefulStop(Exception):
+    """Raised by the SIGTERM handler between device dispatches.
+
+    Python only delivers signals at bytecode boundaries, so the handler
+    fires AFTER the in-flight jit dispatch returns — the device RPC is
+    never abandoned mid-call (a SIGKILL mid-dispatch has wedged the remote
+    TPU worker; see CLAUDE.md). The driver catches this, checkpoints the
+    last completed state, and exits with code 3 so the watchdog can tell
+    a graceful deadline stop from a crash.
+    """
+
+
+def _install_sigterm_handler():
+    def _on_sigterm(signum, frame):
+        raise GracefulStop()
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
 
 
 def parse_args():
@@ -263,70 +283,89 @@ def main(argv=None):
     stages = cfg.training.training_stages
     total = sum(st.epochs for st in stages)
     logger.info(f"training: total epochs={total:,} over {len(stages)} stages")
-    cum = 0
-    for i, st in enumerate(stages):
-        stage_start_epochs = cum
-        stage_end = cum + st.epochs
-        if start_step >= stage_end:
+    _install_sigterm_handler()
+    try:
+        cum = 0
+        for i, st in enumerate(stages):
+            stage_start_epochs = cum
+            stage_end = cum + st.epochs
+            if start_step >= stage_end:
+                cum = stage_end
+                continue  # stage fully covered by the restored global step
+            epochs = stage_end - max(start_step, cum)
             cum = stage_end
-            continue  # stage fully covered by the restored global step
-        epochs = stage_end - max(start_step, cum)
-        cum = stage_end
-        logger.stage(st.name, st.alpha, epochs, st.lr)
-        solver.current_stage = st.name
-        solver.set_alpha_evm(st.alpha)
-        # a mid-stage resume keeps the stage's existing points (replayed from
-        # sampler metadata when present) — resampling here would train the
-        # remainder on a different draw
-        resumed_mid_stage = bool(args.resume) and start_step > stage_start_epochs \
-            and st.optimizer == "adam"
-        if (resumed_mid_stage and cfg.training.resample_each_stage
-                and not sampler_replayed):
-            # pre-sampler-metadata checkpoint: the writer's draw cannot be
-            # reconstructed; the remainder trains on this process's draw-0
-            # points with the restored carry (legacy, approximate resume)
-            logger.warning(
-                "mid-stage resume without sampler metadata under "
-                "resample_each_stage — collocation points may differ from "
-                "the writer's (approximate resume)")
-        if cfg.training.resample_each_stage and i > 0 and not resumed_mid_stage:
-            # fresh Latin-Hypercube draw per stage (extension; the reference
-            # keeps one fixed point set for the whole run). Same shapes ->
-            # no recompilation. With rar_pool_mult > 0 the redraw is
-            # residual-aware: score a candidate pool with the current nets'
-            # PDE residual and keep the worst points (kept indices ride in
-            # checkpoint metadata, so mid-stage resume replays the set).
-            if cfg.training.rar_pool_mult > 0:
-                X = data.rar_training_data(
-                    solver.residuals_at,
-                    pool_mult=cfg.training.rar_pool_mult,
-                    top_frac=cfg.training.rar_top_frac)
-                logger.info(
-                    f"RAR resample: scored pool "
-                    f"{cfg.training.rar_pool_mult}x{cfg.training.N_f:,}, "
-                    f"kept worst {cfg.training.rar_top_frac:.0%}")
-            else:
-                X = data.training_data()
-            solver.set_eq_training_data(X=X, weights=data.sdf_weights)
-        # mid-stage resume trains the FULL stage length starting at the
-        # restored epoch_in_stage so the EVM freeze phase stays aligned
-        n_epoch = st.epochs if resumed_mid_stage else epochs
-        train_kw = dict(num_epoch=n_epoch, lr=st.lr, optimizer=st.optimizer,
-                        resume_in_stage=resumed_mid_stage,
-                        advance_on_stall=st.advance_on_stall,
-                        stall_threshold=cfg.training.stall_threshold,
-                        stall_window=cfg.training.stall_window,
-                        stall_min_epochs=st.stall_min_epochs)
-        if i == 0 and args.profile:
-            from nsfnet_tpu.utils.profiling import xla_trace
+            logger.stage(st.name, st.alpha, epochs, st.lr)
+            solver.current_stage = st.name
+            solver.set_alpha_evm(st.alpha)
+            # a mid-stage resume keeps the stage's existing points (replayed
+            # from sampler metadata when present) — resampling here would
+            # train the remainder on a different draw
+            resumed_mid_stage = bool(args.resume) \
+                and start_step > stage_start_epochs and st.optimizer == "adam"
+            if (resumed_mid_stage and cfg.training.resample_each_stage
+                    and not sampler_replayed):
+                # pre-sampler-metadata checkpoint: the writer's draw cannot
+                # be reconstructed; the remainder trains on this process's
+                # draw-0 points with the restored carry (approximate resume)
+                logger.warning(
+                    "mid-stage resume without sampler metadata under "
+                    "resample_each_stage — collocation points may differ "
+                    "from the writer's (approximate resume)")
+            if cfg.training.resample_each_stage and i > 0 and not resumed_mid_stage:
+                # fresh Latin-Hypercube draw per stage (extension; the
+                # reference keeps one fixed point set for the whole run).
+                # Same shapes -> no recompilation. With rar_pool_mult > 0
+                # the redraw is residual-aware: score a candidate pool with
+                # the current nets' PDE residual and keep the worst points
+                # (kept indices ride in checkpoint metadata, so mid-stage
+                # resume replays the set).
+                if cfg.training.rar_pool_mult > 0:
+                    X = data.rar_training_data(
+                        solver.residuals_at,
+                        pool_mult=cfg.training.rar_pool_mult,
+                        top_frac=cfg.training.rar_top_frac)
+                    logger.info(
+                        f"RAR resample: scored pool "
+                        f"{cfg.training.rar_pool_mult}x{cfg.training.N_f:,}, "
+                        f"kept worst {cfg.training.rar_top_frac:.0%}")
+                else:
+                    X = data.training_data()
+                solver.set_eq_training_data(X=X, weights=data.sdf_weights)
+            # mid-stage resume trains the FULL stage length starting at the
+            # restored epoch_in_stage so the EVM freeze phase stays aligned
+            n_epoch = st.epochs if resumed_mid_stage else epochs
+            train_kw = dict(num_epoch=n_epoch, lr=st.lr, optimizer=st.optimizer,
+                            resume_in_stage=resumed_mid_stage,
+                            advance_on_stall=st.advance_on_stall,
+                            stall_threshold=cfg.training.stall_threshold,
+                            stall_window=cfg.training.stall_window,
+                            stall_min_epochs=st.stall_min_epochs)
+            if i == 0 and args.profile:
+                from nsfnet_tpu.utils.profiling import xla_trace
 
-            with xla_trace(args.profile):
+                with xla_trace(args.profile):
+                    solver.train(**train_kw)
+            else:
                 solver.train(**train_kw)
+            if eval_fields:
+                solver.evaluate(*eval_fields)
+        solver.save("model_final.ckpt")  # final state, even off ckpt cadence
+    except GracefulStop:
+        # Deadline/operator stop: the in-flight dispatch already completed
+        # (signal handlers run between bytecodes), so solver.state is the
+        # last finished chunk — checkpoint it and hand the chip back.
+        if jax.process_count() == 1:
+            path = solver.save(f"sigterm_step{solver.global_step}.ckpt")
+            logger.info(f"SIGTERM: checkpointed {path}; exiting for resume")
         else:
-            solver.train(**train_kw)
-        if eval_fields:
-            solver.evaluate(*eval_fields)
-    solver.save("model_final.ckpt")  # final state, even off the ckpt cadence
+            # solver.save reaches a collective; a single-rank signal would
+            # deadlock a pod run — rely on the cadence checkpoints instead
+            logger.info("SIGTERM: multi-process run, exiting without a "
+                        "collective save (resume from the newest cadence "
+                        "checkpoint)")
+        if solver.tb_writer is not None:
+            solver.tb_writer.close()
+        return 3
     logger.header("Training Completed")
     if solver.tb_writer is not None:
         solver.tb_writer.close()

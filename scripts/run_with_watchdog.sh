@@ -43,8 +43,20 @@ while true; do
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
-      echo "[watchdog] deadline reached - stopping pid $PID (resume later from newest ckpt)" >> "$LOG"
-      kill -9 "$PID" 2>/dev/null
+      # Graceful stop: SIGTERM lets the trainer finish the in-flight device
+      # dispatch, checkpoint, and exit (train.py GracefulStop). SIGKILL
+      # mid-dispatch has wedged the remote TPU worker — only escalate if
+      # the trainer ignores TERM for 3 minutes (i.e. the dispatch is hung).
+      echo "[watchdog] deadline reached - SIGTERM pid $PID (resume later from newest ckpt)" >> "$LOG"
+      kill -TERM "$PID" 2>/dev/null
+      for _ in $(seq 1 36); do
+        kill -0 "$PID" 2>/dev/null || break
+        sleep 5
+      done
+      if kill -0 "$PID" 2>/dev/null; then
+        echo "[watchdog] trainer ignored SIGTERM for 180s - SIGKILL" >> "$LOG"
+        kill -9 "$PID" 2>/dev/null
+      fi
       wait "$PID" 2>/dev/null  # reap: no zombie left behind
       exit 0
     fi

@@ -406,3 +406,83 @@ def test_warm_start_peek_and_guards(tmp_path, monkeypatch):
 
     # donor wider than the config: loud exit 2, no silent shape mangling
     assert main(_args(cfg, init_from=finals[0])) == 2
+
+
+def test_sigterm_graceful_stop_checkpoints_and_resumes(tmp_path):
+    """Deadline stop path: SIGTERM mid-training makes the trainer finish
+    the in-flight dispatch, write sigterm_step*.ckpt, and exit 3 (not a
+    crash); the checkpoint then resumes cleanly. This is the watchdog's
+    WATCHDOG_DEADLINE_TS contract — SIGKILL mid-dispatch has wedged the
+    remote TPU worker, so the graceful path must keep working."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap as tw
+    import time
+
+    mat = str(tmp_path / "dns.mat")
+    _write_dns_mat(mat)
+    ckpt_dir = tmp_path / "results_sig"
+    cfg = tmp_path / "sig.yaml"
+    cfg.write_text(tw.dedent(f"""
+        experiment_name: sigterm_stop
+        model_variant: ev-nsfnet
+        physics: {{Re: 100, alpha_evm: 0.03}}
+        network: {{layers: 2, layers_1: 2, hidden_size: 12, hidden_size_1: 8}}
+        eval_data: {mat}
+        training:
+          N_f: 128
+          log_interval: 25
+          enable_tensorboard: false
+          sort_training_points: false
+          checkpoint_freq: 100
+          checkpoint_dir: {ckpt_dir}
+          training_stages:
+            - {{alpha: 0.03, epochs: 500000, lr: 1.0e-3, name: S1}}
+    """))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "nsfnet_tpu.train",
+         "--config", str(cfg), "--cpu"],
+        cwd=str(tmp_path), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        # wait until training has demonstrably started (first cadence ckpt)
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if glob.glob(str(ckpt_dir / "**" / "*.ckpt"), recursive=True):
+                break
+            if proc.poll() is not None:
+                out, err = proc.communicate()
+                raise AssertionError(f"trainer died early: {err[-2000:]}")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("no cadence checkpoint within 240s")
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=120)
+        assert proc.returncode == 3, (proc.returncode, err[-2000:])
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    sig_ckpts = glob.glob(str(ckpt_dir / "**" / "sigterm_step*.ckpt"),
+                          recursive=True)
+    assert sig_ckpts, "SIGTERM should have written a graceful checkpoint"
+
+    # the graceful checkpoint must be resumable: shrink the stage budget to
+    # just past the stopped step and finish the run in-process
+    from nsfnet_tpu.train import main
+    from nsfnet_tpu.training import checkpoint as ckpt_mod
+
+    step = ckpt_mod.load_metadata(sig_ckpts[0])["global_step"]
+    assert step > 0
+    cfg2 = tmp_path / "sig_resume.yaml"
+    cfg2.write_text(cfg.read_text().replace("epochs: 500000",
+                                            f"epochs: {step + 50}"))
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(_args(str(cfg2), resume=sig_ckpts[0])) == 0
+    finally:
+        os.chdir(old)
