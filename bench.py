@@ -96,8 +96,13 @@ def _device_healthy(timeout_s: float = 180.0) -> bool:
     is one JSON line, never a hang."""
     import subprocess
 
+    # PRNG operands, not jnp.ones: a broadcasted-constant matmul is the
+    # exact pattern the v5e fusion cost model SIGILLs on (CLAUDE.md),
+    # and constants risk being folded away — the probe must exercise a
+    # real device computation.
     code = ("import jax, jax.numpy as jnp; "
-            "(jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready(); "
+            "x = jax.random.normal(jax.random.PRNGKey(0), (256, 256)); "
+            "(x @ x).block_until_ready(); "
             "print('ok')")
     try:
         r = subprocess.run([sys.executable, "-c", code],

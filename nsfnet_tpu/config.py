@@ -238,6 +238,14 @@ class ConfigManager:
             if not c.training.resample_each_stage:
                 warnings.append("rar_pool_mult > 0 has no effect without "
                                 "resample_each_stage: true")
+        if c.training.max_chunk < 1:
+            warnings.append("max_chunk must be >= 1 (steps per device "
+                            "dispatch; 0 would spin the train loop forever)")
+        if not 0.0 <= c.training.adaptive_bc_ema < 1.0:
+            warnings.append("adaptive_bc_ema must be in [0, 1) — values "
+                            ">= 1 make the bc-weight EMA diverge")
+        if c.training.stall_window < 1:
+            warnings.append("stall_window must be >= 1 log intervals")
         for i, st in enumerate(c.training.training_stages, 1):
             if st.optimizer not in ("adam", "lbfgs", "lm"):
                 warnings.append(f"unknown stage optimizer {st.optimizer!r}")

@@ -240,8 +240,13 @@ class CavityData:
             raise ValueError(f"rar pool_mult must be >= 1, got {pool_mult}")
         if not 0.0 < float(top_frac) <= 1.0:
             raise ValueError(f"rar top_frac must be in (0, 1], got {top_frac}")
-        self._pre_draw_rng_state = self._rng.bit_generator.state
-        self._state_is_pre_draw = False
+        # Bookkeeping commits are DEFERRED until after score_fn: the scoring
+        # is a seconds-long device dispatch, and a GracefulStop (SIGTERM)
+        # landing inside it must leave get_state() describing the PREVIOUS
+        # completed draw — mutating first would pair the old draw's spec
+        # with this aborted draw's RNG rewind point (silent point mismatch
+        # on a NumPy-path resume).
+        pre_state = self._rng.bit_generator.state
         pool = self._raw_draw(pool_mult * self.N_f)
         pts = self._to_centered(pool) if self.coord_transform else pool
         scores = np.asarray(score_fn(
@@ -256,6 +261,8 @@ class CavityData:
             np.argpartition(-scores, keep_n - 1)[:keep_n]).astype(np.int64)
         fill = self._raw_draw(self.N_f - keep_n, salt=3571)
         xye = np.concatenate([pool[keep_idx], fill], axis=0)
+        self._pre_draw_rng_state = pre_state
+        self._state_is_pre_draw = False
         self._last_rar = {"pool_mult": pool_mult, "top_frac": float(top_frac),
                           "keep_idx": keep_idx}
         self._rar_replay = None

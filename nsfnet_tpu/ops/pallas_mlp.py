@@ -50,6 +50,10 @@ import os as _os
 # forward tile; also the padding granule. Env-overridable for perf sweeps
 # (scripts/pallas_tile_sweep.py) — must be a multiple of 8 (fp32 sublane).
 TILE = int(_os.environ.get("NSFNET_PALLAS_TILE", 512))
+if TILE < 8 or TILE % 8 != 0:
+    raise ValueError(
+        f"NSFNET_PALLAS_TILE={TILE}: the forward tile must be a positive "
+        f"multiple of 8 (fp32 sublane granule)")
 
 
 def bwd_tile_for(n_hidden: int, hidden: int) -> int:
@@ -60,7 +64,13 @@ def bwd_tile_for(n_hidden: int, hidden: int) -> int:
     """
     forced = _os.environ.get("NSFNET_PALLAS_BWD_TILE")
     if forced:
-        return int(forced)
+        t = int(forced)
+        if t < 8 or t % 8 != 0 or TILE % t != 0:
+            raise ValueError(
+                f"NSFNET_PALLAS_BWD_TILE={t}: the backward tile must be a "
+                f"divisor of TILE={TILE} and >= 8 — a non-divisor breaks "
+                f"the kernel's tiling math (wrong gradients, not an error)")
+        return t
     budget = 10 * 1024 * 1024  # of the 16 MB/core; leaves headroom for the
     # compiler's double-buffered I/O and temporaries (T=512 with H=80 was
     # measured to OOM at 21 MB scoped)

@@ -233,6 +233,22 @@ def main(argv=None):
         if meta.get("backbone", "mlp") != "mlp" or cfg.network.backbone != "mlp":
             logger.error("--init-from supports the MLP backbone only")
             return 2
+        # EVM net: transfer requires an exact architecture match — the donor
+        # template below is built at the CONFIG's hidden_size_1/layers_1, and
+        # flax.from_bytes would silently restore mismatched EVM shapes into
+        # it (no widening path exists for the EVM net)
+        if cfg.model_variant == "ev-nsfnet":
+            donor_h1 = meta.get("hidden_size_1") or arch.get("hidden_size_1")
+            donor_l1 = meta.get("layers_1") or arch.get("layers_1")
+            if donor_h1 is not None and (
+                    int(donor_h1) != cfg.network.hidden_size_1
+                    or int(donor_l1 or cfg.network.layers_1) != cfg.network.layers_1):
+                logger.error(
+                    f"--init-from: donor EVM net is {donor_l1}x{donor_h1}, "
+                    f"config wants {cfg.network.layers_1}x"
+                    f"{cfg.network.hidden_size_1} — EVM transfer requires an "
+                    f"exact architecture match")
+                return 2
         dcfg = _copy.deepcopy(cfg)
         dcfg.network.hidden_size = donor_hidden
         donor = build_solver(dcfg)

@@ -18,7 +18,9 @@ Key TPU-native differences (all documented divergences, see SURVEY §7):
 
 from __future__ import annotations
 
+import contextlib
 import os
+import signal
 import time
 from typing import Optional
 
@@ -45,12 +47,37 @@ from nsfnet_tpu.training.step import (
 from nsfnet_tpu.utils.tensorboard import ScalarWriter
 
 
+@contextlib.contextmanager
+def _defer_sigterm():
+    """Mask SIGTERM across the dispatch + step-counter critical section.
+
+    The driver's SIGTERM handler (train.py GracefulStop) raises between
+    Python bytecodes; landing between the runner-result assignment and the
+    global_step increment would checkpoint params one full chunk ahead of
+    the step counter. Masking makes the pair atomic — a pending SIGTERM
+    delivers at unmask, i.e. at a consistent chunk boundary."""
+    try:
+        prev = signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
+    except (AttributeError, ValueError, OSError):
+        # non-main-thread restrictions / platforms without pthread_sigmask:
+        # fall back to the (narrow) unmasked race rather than failing
+        yield
+        return
+    try:
+        yield
+    finally:
+        signal.pthread_sigmask(signal.SIG_SETMASK, prev)
+
+
 def stall_gain(eq_track, window: int) -> float:
     """Relative improvement of the best (minimum) equation loss achieved in
     the last `window` log intervals over the best before them. Minimum-based
     so eq-loss oscillation around a converged value reads as ~0 gain while a
     noisy-but-descending track reads positive (endpoint-to-endpoint deltas
     fire on transient upticks — observed in the Re=5000 gentle campaign)."""
+    window = max(1, int(window))
+    if len(eq_track) <= window:
+        return float("inf")  # not enough history to call a stall
     best_before = min(eq_track[:-window])
     best_now = min(eq_track[-window:])
     return (best_before - best_now) / max(abs(best_before), 1e-30)
@@ -145,6 +172,8 @@ class PINNSolver:
         self.coord_scale = 1.0
         self.layers = layers
         self.hidden_size = hidden_size
+        self.layers_1 = layers_1
+        self.hidden_size_1 = hidden_size_1
         self.logger = get_logger()
 
         self.mesh = mesh if mesh is not None else pmesh.create_mesh(mesh_devices)
@@ -535,7 +564,15 @@ class PINNSolver:
         the EVM alternating-freeze phase (epoch %% evm_update_freq)
         bit-identical to the uninterrupted run."""
         self.current_re = float(Re) if Re is not None else self.Re
-        self.current_alpha_b = float(bc_weight) if bc_weight is not None else self.alpha_b
+        if bc_weight is not None:
+            self.current_alpha_b = float(bc_weight)
+        elif not self.adaptive_bc_weight:
+            # static mode resets to the config weight each stage; adaptive
+            # mode KEEPS the EMA'd weight across stage boundaries and — via
+            # load()'s metadata restore — across watchdog resumes (resetting
+            # here would snap an adapted weight back to the config value and
+            # put a loss-landscape discontinuity mid-campaign)
+            self.current_alpha_b = self.alpha_b
         if optimizer == "lbfgs":
             return self.train_lbfgs(num_epoch)
         if optimizer == "lm":
@@ -567,29 +604,31 @@ class PINNSolver:
                     ((done // self.checkpoint_freq) + 1) * self.checkpoint_freq,
                     num_epoch)
                 n = min(nxt - done, self.max_chunk)
-            try:
-                self.state, metrics = self._runner(
-                    self.state, self._batch, sc, n_steps=n)
-            except jax.errors.JaxRuntimeError as e:
-                # Failure recovery (reference has none, SURVEY §5.3): a TPU
-                # worker crash/restart invalidates the (donated) state — roll
-                # back to the last full-state checkpoint and continue.
-                crashes += 1
-                if last_ckpt is None or crashes > 3:
-                    raise
-                if self.rank == 0:
-                    self.logger.error(
-                        f"device runtime error at stage-epoch {done} "
-                        f"({e}); resuming from {last_ckpt} "
-                        f"(crash {crashes}/3)")
-                self._runner = None
-                self._dirty = True
-                self._ensure_ready()
-                self.load(last_ckpt)
-                done = int(self.state.epoch_in_stage)
-                continue
-            done += n
-            self.global_step += n
+            with _defer_sigterm():
+                try:
+                    self.state, metrics = self._runner(
+                        self.state, self._batch, sc, n_steps=n)
+                except jax.errors.JaxRuntimeError as e:
+                    # Failure recovery (reference has none, SURVEY §5.3): a
+                    # TPU worker crash/restart invalidates the (donated)
+                    # state — roll back to the last full-state checkpoint
+                    # and continue.
+                    crashes += 1
+                    if last_ckpt is None or crashes > 3:
+                        raise
+                    if self.rank == 0:
+                        self.logger.error(
+                            f"device runtime error at stage-epoch {done} "
+                            f"({e}); resuming from {last_ckpt} "
+                            f"(crash {crashes}/3)")
+                    self._runner = None
+                    self._dirty = True
+                    self._ensure_ready()
+                    self.load(last_ckpt)
+                    done = int(self.state.epoch_in_stage)
+                    continue
+                done += n
+                self.global_step += n
 
             if done == 1 or done % self.log_interval == 0 or done == num_epoch:
                 m = jax.device_get(metrics)
@@ -937,6 +976,9 @@ class PINNSolver:
             "hidden_size": self.hidden_size,
             "backbone": self.backbone,
         }
+        if self.evm:
+            meta["layers_1"] = self.layers_1
+            meta["hidden_size_1"] = self.hidden_size_1
         ds = getattr(self, "dataset", None)
         if ds is not None:
             meta["sampler"] = ds.get_state()

@@ -72,16 +72,23 @@ def main():
                 env.pop("NSFNET_PALLAS_BWD_TILE", None)
             code = _CHILD.format(repo=_REPO, nf=args.nf, steps=args.steps,
                                  prec=args.precision)
-            r = subprocess.run([sys.executable, "-c", code], env=env,
-                               capture_output=True, text=True, timeout=1800)
-            pts = None
-            for line in r.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    pts = json.loads(line[len("RESULT "):])["pts_per_s"]
+            pts, err = None, None
+            try:
+                r = subprocess.run([sys.executable, "-c", code], env=env,
+                                   capture_output=True, text=True, timeout=1800)
+                for line in r.stdout.splitlines():
+                    if line.startswith("RESULT "):
+                        pts = json.loads(line[len("RESULT "):])["pts_per_s"]
+                if pts is None:
+                    err = r.stderr[-500:]
+            except subprocess.TimeoutExpired:
+                # one wedged TPU combo must not abort the sweep — record an
+                # error row and keep going
+                err = "timeout after 1800s (hung device dispatch?)"
             row = {"tile": tile, "bwd_tile": bwd,
                    "pts_per_s": round(pts, 1) if pts else None,
                    "vs_baseline": round(pts / 142000.0, 2) if pts else None,
-                   "error": None if pts else r.stderr[-500:]}
+                   "error": err}
             rows.append(row)
             print(json.dumps(row), flush=True)
     best = max((r for r in rows if r["pts_per_s"]), key=lambda r: r["pts_per_s"],

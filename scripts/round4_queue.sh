@@ -31,7 +31,7 @@ wait_for_tpu() {
   # A hung worker blocks INSIDE the runtime — probe in a subprocess with a
   # hard timeout; never import jax in this shell's parent python.
   for i in $(seq 1 200); do
-    if timeout 150 python -c 'import jax, jax.numpy as jnp; (jnp.ones((256,256)) @ jnp.ones((256,256))).block_until_ready()' >/dev/null 2>&1; then
+    if timeout 150 python -c 'import jax, jax.numpy as jnp; x = jax.random.normal(jax.random.PRNGKey(0), (256,256)); (x @ x).block_until_ready()' >/dev/null 2>&1; then
       return 0
     fi
     echo "[queue] $(date -u +%H:%M:%S) TPU probe $i failed; retrying in 4 min" | tee -a "$LOGDIR/queue.log"

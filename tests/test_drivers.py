@@ -407,6 +407,15 @@ def test_warm_start_peek_and_guards(tmp_path, monkeypatch):
     # donor wider than the config: loud exit 2, no silent shape mangling
     assert main(_args(cfg, init_from=finals[0])) == 2
 
+    # EVM-net mismatch: the donor template is built at the CONFIG's
+    # hidden_size_1, and flax would silently restore mismatched EVM shapes
+    # into it — must be a loud exit 2 (no EVM widening path exists)
+    evm_cfg = tmp_path / "evm_mismatch.yaml"
+    evm_cfg.write_text(wide_cfg.read_text()
+                       .replace("hidden_size_1: 8", "hidden_size_1: 12")
+                       .replace("results_wide2", "results_evm_mm"))
+    assert main(_args(str(evm_cfg), init_from=finals[0])) == 2
+
 
 def test_sigterm_graceful_stop_checkpoints_and_resumes(tmp_path):
     """Deadline stop path: SIGTERM mid-training makes the trainer finish

@@ -663,6 +663,18 @@ def test_adaptive_bc_weight_balances_and_checkpoints(tmp_path):
     off.train(num_epoch=30, lr=1e-3)
     assert off.current_alpha_b == 10.0
 
+    # REGRESSION: train() must not clobber an adapted/restored weight at
+    # stage entry — adaptive mode carries it across stage boundaries and
+    # watchdog resumes (static mode resets; explicit bc_weight overrides)
+    fresh.current_alpha_b = 77.0
+    fresh.train(num_epoch=0, lr=1e-3)
+    assert fresh.current_alpha_b == 77.0
+    fresh.train(num_epoch=0, lr=1e-3, bc_weight=5.0)
+    assert fresh.current_alpha_b == 5.0
+    off.current_alpha_b = 77.0
+    off.train(num_epoch=0, lr=1e-3)
+    assert off.current_alpha_b == 10.0
+
 
 def test_stall_gain_criterion():
     """Min-based stall gain: flat -> ~0 (stall), oscillating-but-improving
