@@ -53,6 +53,12 @@ class TrainingStage:
     # The Re=4000 post-mortem showed the opposite failure too (annealing
     # OUTPACING convergence) — min_epochs guards the floor.
     advance_on_stall: bool = False
+    # Per-stage physics overrides (0 = inherit physics.Re / physics.bc_weight).
+    # Re/bc_weight are runtime scalars in the jitted step, so a staged-Re
+    # continuation curriculum (e.g. anneal Re 4000 -> 5000 from a converged
+    # lower-Re solution) or boundary-weight annealing never retraces.
+    Re: float = 0.0
+    bc_weight: float = 0.0
     stall_min_epochs: int = 0  # never advance before this many epochs
 
 
@@ -190,8 +196,14 @@ class ConfigManager:
                            "training.sdf_weighting.", unknown)
         if "training_stages" in tr:
             stages = []
-            for st in tr["training_stages"]:
+            stage_keys = {"alpha", "epochs", "lr", "name", "optimizer",
+                          "advance_on_stall", "stall_min_epochs", "Re",
+                          "bc_weight"}
+            for i, st in enumerate(tr["training_stages"], 1):
                 if isinstance(st, dict):
+                    for k in st:
+                        if k not in stage_keys:
+                            unknown.append(f"training.training_stages[{i}].{k}")
                     stages.append(TrainingStage(
                         alpha=float(st["alpha"]),
                         epochs=int(st["epochs"]),
@@ -200,6 +212,8 @@ class ConfigManager:
                         optimizer=str(st.get("optimizer", "adam")),
                         advance_on_stall=bool(st.get("advance_on_stall", False)),
                         stall_min_epochs=int(st.get("stall_min_epochs", 0)),
+                        Re=float(st.get("Re", 0.0)),
+                        bc_weight=float(st.get("bc_weight", 0.0)),
                     ))
                 elif isinstance(st, (list, tuple)) and len(st) >= 4:
                     stages.append(TrainingStage(
@@ -253,6 +267,10 @@ class ConfigManager:
                 warnings.append(f"stage {i} ({st.name}): epochs must be > 0")
             if st.lr <= 0:
                 warnings.append(f"stage {i} ({st.name}): lr must be > 0")
+            if st.Re < 0 or st.bc_weight < 0:
+                warnings.append(
+                    f"stage {i} ({st.name}): Re/bc_weight overrides must be "
+                    f">= 0 (0 = inherit the physics section)")
             if st.advance_on_stall and st.optimizer != "adam":
                 warnings.append(
                     f"stage {i} ({st.name}): advance_on_stall only applies "
@@ -275,8 +293,10 @@ class ConfigManager:
         printer(f"Training: N_f={c.training.N_f:,} stages={len(c.training.training_stages)} "
                 f"precision={c.training.matmul_precision}")
         for i, st in enumerate(c.training.training_stages, 1):
+            extra = f" Re={st.Re:g}" if st.Re else ""
+            extra += f" bc_w={st.bc_weight:g}" if st.bc_weight else ""
             printer(f"  {i:02d} {st.name:<10} alpha={st.alpha:<7g} epochs={st.epochs:<9,} "
-                    f"lr={st.lr:.2e} opt={st.optimizer}")
+                    f"lr={st.lr:.2e} opt={st.optimizer}{extra}")
         sdf = c.training.sdf_weighting
         printer(f"SDF weighting: {'ON' if sdf.enabled else 'OFF'} "
                 f"min={sdf.min_weight} decay={sdf.decay}")

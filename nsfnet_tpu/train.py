@@ -355,7 +355,12 @@ def main(argv=None):
                             advance_on_stall=st.advance_on_stall,
                             stall_threshold=cfg.training.stall_threshold,
                             stall_window=cfg.training.stall_window,
-                            stall_min_epochs=st.stall_min_epochs)
+                            stall_min_epochs=st.stall_min_epochs,
+                            # per-stage physics overrides (0 = inherit) —
+                            # runtime scalars, so a staged-Re continuation
+                            # curriculum never retraces
+                            Re=st.Re or None,
+                            bc_weight=st.bc_weight or None)
             if i == 0 and args.profile:
                 from nsfnet_tpu.utils.profiling import xla_trace
 

@@ -495,3 +495,54 @@ def test_sigterm_graceful_stop_checkpoints_and_resumes(tmp_path):
         assert main(_args(str(cfg2), resume=sig_ckpts[0])) == 0
     finally:
         os.chdir(old)
+
+
+def test_driver_wires_stage_re_and_bc_overrides(tmp_path, monkeypatch):
+    """Per-stage Re/bc_weight config overrides reach solver.train as
+    runtime scalars (the Reynolds-continuation curriculum wiring —
+    configs/re5000_cont_from_re4000.yaml), and 0/omitted inherits the
+    physics section."""
+    import textwrap as tw
+
+    from nsfnet_tpu import train as train_mod
+    from nsfnet_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    mat = str(tmp_path / "dns.mat")
+    _write_dns_mat(mat)
+    cfg = tmp_path / "cont.yaml"
+    cfg.write_text(tw.dedent(f"""
+        experiment_name: cont_e2e
+        model_variant: ev-nsfnet
+        physics: {{Re: 500, alpha_evm: 0.03, bc_weight: 10}}
+        network: {{layers: 2, layers_1: 2, hidden_size: 12, hidden_size_1: 8}}
+        eval_data: {mat}
+        training:
+          N_f: 128
+          log_interval: 50
+          enable_tensorboard: false
+          sort_training_points: false
+          checkpoint_freq: 1000000
+          checkpoint_dir: {tmp_path}/results_cont
+          training_stages:
+            - {{alpha: 0.03, Re: 100, epochs: 10, lr: 1.0e-3, name: C0}}
+            - {{alpha: 0.03, Re: 300, bc_weight: 20, epochs: 10, lr: 1.0e-3, name: C1}}
+            - {{alpha: 0.02, epochs: 10, lr: 1.0e-4, name: C2}}
+    """))
+
+    seen = []
+    from nsfnet_tpu.training.solver import PINNSolver
+
+    orig_train = PINNSolver.train
+
+    def spy(self, *a, **kw):
+        seen.append((kw.get("Re"), kw.get("bc_weight")))
+        out = orig_train(self, *a, **kw)
+        seen[-1] = seen[-1] + (self.current_re, self.current_alpha_b)
+        return out
+
+    monkeypatch.setattr(PINNSolver, "train", spy)
+    assert main(_args(str(cfg))) == 0
+    assert [s[:2] for s in seen] == [(100.0, None), (300.0, 20.0), (None, None)]
+    # and the solver actually ran each stage at the override values
+    assert [s[2:] for s in seen] == [(100.0, 10.0), (300.0, 20.0), (500.0, 10.0)]
