@@ -62,7 +62,15 @@ run_slot() {
 run_slot configs/re2000_6x80_full.yaml 14
 run_slot configs/re4000_ev_polish_h160.yaml 8 \
     --init-from artifacts/re4000_gentle/final_state.ckpt
+# Re=5000: Reynolds continuation from the converged Re=4000 solution
+# (expected to beat polishing the 29% from-scratch state — the error
+# anatomy says that state's vortex core is wrong, not just under-resolved),
+# then widen h80->h160 from whatever the continuation produced.
+run_slot configs/re5000_cont_from_re4000.yaml 5 \
+    --init-from artifacts/re4000_gentle/final_state.ckpt
+CONT_BEST=$(find results_re5000_cont -name 'model_final.ckpt' -printf '%T@ %p\n' 2>/dev/null \
+            | sort -rn | head -1 | cut -d' ' -f2-)
 run_slot configs/re5000_ev_polish_h160.yaml 8 \
-    --init-from artifacts/re5000_gentle/final_state.ckpt
+    --init-from "${CONT_BEST:-artifacts/re5000_gentle/final_state.ckpt}"
 
 echo "[queue] $(date -u +%H:%M:%S) queue complete" | tee -a "$LOGDIR/queue.log"
