@@ -40,7 +40,11 @@ def _install_sigterm_handler():
     def _on_sigterm(signum, frame):
         raise GracefulStop()
 
-    signal.signal(signal.SIGTERM, _on_sigterm)
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # main() invoked off the main thread (embedding/tests):
+        # graceful stop is unavailable, default TERM behavior applies
 
 
 def parse_args():
