@@ -27,6 +27,10 @@ class PhysicsConfig:
 @dataclass
 class NetworkConfig:
     backbone: str = "mlp"  # mlp | kan
+    # velocity (reference parity: the net predicts u,v,p) | streamfunction
+    # (net predicts psi,p with u=psi_y, v=-psi_x — continuity EXACT by
+    # construction; third-order Taylor engine, XLA path, MLP only)
+    formulation: str = "velocity"
     layers: int = 6
     layers_1: int = 4
     hidden_size: int = 80
@@ -244,6 +248,13 @@ class ConfigManager:
             warnings.append("N_f must be > 0")
         if c.model_variant not in ("nsfnet", "ev-nsfnet", "kan"):
             warnings.append(f"unknown model_variant {c.model_variant!r}")
+        if c.network.formulation not in ("velocity", "streamfunction"):
+            warnings.append(f"unknown network.formulation "
+                            f"{c.network.formulation!r}")
+        elif c.network.formulation == "streamfunction" \
+                and c.network.backbone != "mlp":
+            warnings.append("formulation: streamfunction requires the MLP "
+                            "backbone")
         if c.training.rar_pool_mult < 0:
             warnings.append("rar_pool_mult must be >= 0 (0 = off)")
         if c.training.rar_pool_mult > 0:
@@ -286,7 +297,10 @@ class ConfigManager:
         if c.network.backbone == "kan":
             printer(f"  KAN width={c.network.kan_width} grid={c.network.kan_grid} k={c.network.kan_k}")
         else:
-            printer(f"  Main: {c.network.layers} layers x {c.network.hidden_size}")
+            form = ("" if c.network.formulation == "velocity"
+                    else f" [{c.network.formulation}]")
+            printer(f"  Main: {c.network.layers} layers x "
+                    f"{c.network.hidden_size}{form}")
             if c.model_variant == "ev-nsfnet":
                 printer(f"  EVM : {c.network.layers_1} layers x {c.network.hidden_size_1}")
         printer(f"Physics: Re={c.physics.Re} bc_w={c.physics.bc_weight} eq_w={c.physics.eq_weight}")

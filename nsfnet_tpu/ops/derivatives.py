@@ -78,6 +78,95 @@ def first_derivatives_2d(apply_fn: Callable[[jax.Array], jax.Array], x: jax.Arra
     return out, fx, fy
 
 
+def _directional_third_order(apply_fn: Callable[[jax.Array], jax.Array],
+                             x: jax.Array, v: jax.Array):
+    """f, Df·v, D²f·(v,v), D³f·(v,v,v) — third-order forward mode via
+    jvp-of-jvp-of-jvp (Taylor-mode for one direction). Exact directional
+    derivatives, NOT factorial-normalized Taylor coefficients."""
+
+    def first(u):
+        return jax.jvp(apply_fn, (u,), (v,))
+
+    def second(w):
+        return jax.jvp(first, (w,), (v,))
+
+    ((f, d1), (_, d2)), ((_, _d2b), (_, d3)) = jax.jvp(second, (x,), (v,))
+    return f, d1, d2, d3
+
+
+def _psi_tangents(x: jax.Array):
+    """Tangent batches for the four directions the streamfunction engine
+    sweeps: e_x, e_y, (1,1), (1,-1) (opaque — see _unit_tangents)."""
+    ex = jnp.broadcast_to(jnp.asarray([1.0, 0.0], x.dtype), x.shape)
+    ey = jnp.broadcast_to(jnp.asarray([0.0, 1.0], x.dtype), x.shape)
+    dp = jnp.broadcast_to(jnp.asarray([1.0, 1.0], x.dtype), x.shape)
+    dm = jnp.broadcast_to(jnp.asarray([1.0, -1.0], x.dtype), x.shape)
+    return jax.lax.optimization_barrier((ex, ey, dp, dm))
+
+
+def psi_p_derivatives_2d(apply_fn: Callable[[jax.Array], jax.Array],
+                         x: jax.Array, uv_scale: float = 1.0) -> Derivs:
+    """Streamfunction-pressure formulation: derivatives of the VIRTUAL
+    velocity field (u, v, p) from a net f: [N,2] -> [N,2] = (psi, p), with
+
+        u = psi_y,   v = -psi_x   (continuity u_x + v_y == 0 EXACTLY).
+
+    Returns the standard `Derivs` bundle with [N,3] columns (u, v, p), so
+    every consumer (NS/EVM residuals, losses, LM residual vector) works
+    unchanged — eq3 is identically zero by construction, a constraint the
+    reference's velocity-pressure formulation can only penalize
+    (NSFnet/pinn_solver.py:155-160). The momentum Laplacian needs THIRD
+    derivatives of psi: four order-3 Taylor sweeps along e_x, e_y, (1,1),
+    (1,-1) give all ten third-order/mixed partials (the 2-input closed-form
+    the reference's 6 chained reverse-mode passes cannot reach at all).
+
+    `uv_scale`: the coordinate-transform chain-rule factor applied ONCE to
+    the psi-derived u, v values (they are physical velocities but net-frame
+    derivatives of psi); the residual `_unpack` then applies its usual
+    per-derivative-order scaling on top, keeping both formulations on the
+    same convention. p columns are returned unscaled (p is a direct net
+    output, not a psi derivative).
+    """
+    ex, ey, dp, dm = _psi_tangents(x)
+    out, gx, gxx, gxxx = _directional_third_order(apply_fn, x, ex)
+    _, gy, gyy, gyyy = _directional_third_order(apply_fn, x, ey)
+    _, _, m2, m3 = _directional_third_order(apply_fn, x, dp)
+    _, _, n2, n3 = _directional_third_order(apply_fn, x, dm)
+
+    col = lambda a, k: a[:, k:k + 1]
+    psi_x, psi_xx, psi_xxx = col(gx, 0), col(gxx, 0), col(gxxx, 0)
+    psi_y, psi_yy, psi_yyy = col(gy, 0), col(gyy, 0), col(gyyy, 0)
+    p, p_x, p_y = col(out, 1), col(gx, 1), col(gy, 1)
+    # D²_(1,±1) = psi_xx ± 2 psi_xy + psi_yy
+    psi_xy = (col(m2, 0) - col(n2, 0)) * 0.25
+    # D³_(1,±1) = psi_xxx ± 3 psi_xxy + 3 psi_xyy ± psi_yyy
+    psi_xyy = ((col(m3, 0) + col(n3, 0)) - 2.0 * psi_xxx) / 6.0
+    psi_xxy = ((col(m3, 0) - col(n3, 0)) - 2.0 * psi_yyy) / 6.0
+
+    s = uv_scale
+    zero = jnp.zeros_like(p)
+    cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=1)
+    return (
+        cat(s * psi_y, -s * psi_x, p),          # (u, v, p)
+        cat(s * psi_xy, -s * psi_xx, p_x),      # d/dx
+        cat(s * psi_yy, -s * psi_xy, p_y),      # d/dy  (v_y = -u_x: same array)
+        cat(s * psi_xxy, -s * psi_xxx, zero),   # d2/dx2 (p_xx unused)
+        cat(s * psi_yyy, -s * psi_xyy, zero),   # d2/dy2
+    )
+
+
+def psi_p_uv(apply_fn: Callable[[jax.Array], jax.Array], x: jax.Array,
+             uv_scale: float = 1.0) -> jax.Array:
+    """(u, v, p) VALUES for the streamfunction formulation — the
+    first-order-only companion of psi_p_derivatives_2d, used for boundary/
+    supervised losses and prediction (u = s·psi_y, v = -s·psi_x)."""
+    ex, ey = _unit_tangents(x)
+    out, fx = jax.jvp(apply_fn, (x,), (ex,))
+    _, fy = jax.jvp(apply_fn, (x,), (ey,))
+    return jnp.concatenate([uv_scale * fy[:, 0:1], -uv_scale * fx[:, 0:1],
+                            out[:, 1:2]], axis=1)
+
+
 def mlp_derivatives_2d(params: Params, x: jax.Array) -> Derivs:
     """Closed-form value+tangent propagation through a tanh MLP.
 

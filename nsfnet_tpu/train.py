@@ -93,6 +93,7 @@ def build_solver(cfg, mesh=None) -> PINNSolver:
         entropy_residual_weight=cfg.physics.entropy_residual_weight,
         evm=(variant == "ev-nsfnet"),
         backbone=cfg.network.backbone if variant != "kan" else "kan",
+        formulation=cfg.network.formulation,
         kan_width=tuple(cfg.network.kan_width),
         kan_grid=cfg.network.kan_grid,
         kan_k=cfg.network.kan_k,
@@ -236,6 +237,13 @@ def main(argv=None):
             return 2
         if meta.get("backbone", "mlp") != "mlp" or cfg.network.backbone != "mlp":
             logger.error("--init-from supports the MLP backbone only")
+            return 2
+        if meta.get("formulation", "velocity") != cfg.network.formulation:
+            logger.error(
+                f"--init-from: donor formulation "
+                f"{meta.get('formulation', 'velocity')!r} != config "
+                f"{cfg.network.formulation!r} (the heads predict different "
+                f"quantities — transfer would be meaningless)")
             return 2
         # EVM net: transfer requires an exact architecture match — the donor
         # template below is built at the CONFIG's hidden_size_1/layers_1, and

@@ -140,6 +140,10 @@ class PINNSolver:
         adaptive_bc_weight: bool = False,  # grad-norm loss balancing
         adaptive_bc_ema: float = 0.9,      # (config.py adaptive_bc_*)
         adaptive_bc_max: float = 1000.0,
+        formulation: str = "velocity",  # velocity (reference parity) |
+        # streamfunction: net outputs (psi, p), u = psi_y, v = -psi_x —
+        # continuity is EXACT by construction (ops/derivatives.py
+        # psi_p_derivatives_2d); needs 3rd-order Taylor sweeps, XLA engine
     ):
         self.max_chunk = max_chunk
         self.microbatches = max(1, int(microbatches))
@@ -184,6 +188,19 @@ class PINNSolver:
             engine = "pallas" if (is_tpu and backbone == "mlp") else "xla"
         self.engine = engine
 
+        if formulation not in ("velocity", "streamfunction"):
+            raise ValueError(f"unknown formulation {formulation!r}")
+        self.formulation = formulation
+        if formulation == "streamfunction":
+            if backbone != "mlp":
+                raise ValueError(
+                    "formulation='streamfunction' supports the MLP backbone")
+            num_outs = 2  # (psi, p); u/v are psi derivatives
+            if net_params:
+                raise ValueError(
+                    ".pth import is velocity-formulation only (the "
+                    "reference nets predict (u, v, p) directly)")
+
         key = jax.random.PRNGKey(seed)
         k_main, k_evm = jax.random.split(key)
         if backbone == "kan":
@@ -198,7 +215,9 @@ class PINNSolver:
             # plain MLP; the Fourier-embedded net runs the generic
             # jvp-of-jvp engine (sin/cos differentiate through cleanly)
             self._generic_engine = fourier_features > 0
-            if self._generic_engine and self.engine == "pallas":
+            if (self._generic_engine or formulation == "streamfunction") \
+                    and self.engine == "pallas":
+                # third-order psi sweeps have no fused kernel (yet)
                 self.engine = "xla"
         self.backbone = backbone
         params = self.net.init(k_main)
@@ -325,6 +344,7 @@ class PINNSolver:
         (parity: ev-NSFnet/pinn_solver.py:186-192)."""
         self.coord_scale = 1.0 if (scale is None or scale <= 0) else float(scale)
         self._score_jit = None  # closes over coord_scale
+        self._predict_jit = jax.jit(self._predict_impl)  # ditto (psi u,v scale)
         self._dirty = True
 
     def set_alpha_evm(self, alpha: float):
@@ -417,8 +437,30 @@ class PINNSolver:
         return pmesh.padded_size(n_f, self.world_size,
                                  lane=eq_lane * self.microbatches)
 
+    def _uvp_apply(self):
+        """(params, x) -> [N, 3] (u, v, p) values — the formulation-aware
+        'forward pass' every consumer of velocities uses (BC/supervised
+        losses, prediction). Velocity formulation: the net output itself.
+        Streamfunction: u = s·psi_y, v = -s·psi_x via one tangent sweep per
+        direction (ops/derivatives.py psi_p_uv)."""
+        if self.formulation == "streamfunction":
+            from nsfnet_tpu.ops.derivatives import psi_p_uv
+
+            apply = self.net.apply
+            scale = self.coord_scale
+            return lambda params, x: psi_p_uv(
+                lambda z: apply(params, z), x, scale)
+        return self.net.apply
+
     def _engine(self, kind: Optional[str] = None):
         kind = kind or self.engine
+        if self.formulation == "streamfunction":
+            from nsfnet_tpu.ops.derivatives import psi_p_derivatives_2d
+
+            apply = self.net.apply
+            scale = self.coord_scale
+            return lambda params, x: psi_p_derivatives_2d(
+                lambda z: apply(params, z), x, scale)
         if self._generic_engine:
             if self.backbone == "kan" and kind != "generic":
                 # closed-form B-spline/silu tangent propagation — one basis
@@ -442,7 +484,7 @@ class PINNSolver:
         apply_evm = self.net_1.apply if self.evm else None
         return make_loss_fn(
             engine=self._engine(engine_kind),
-            apply_main=self.net.apply,
+            apply_main=self._uvp_apply(),
             apply_evm=apply_evm,
             coord_scale=self.coord_scale,
             alpha_e=self.alpha_e,
@@ -722,7 +764,7 @@ class PINNSolver:
 
         residual = make_residual_fn(
             engine=self._engine("xla"),
-            apply_main=self.net.apply,
+            apply_main=self._uvp_apply(),
             apply_evm=(self.net_1.apply if self.evm else None),
             coord_scale=self.coord_scale,
             alpha_e=self.alpha_e,
@@ -807,7 +849,7 @@ class PINNSolver:
         # measurably inflates the reported DNS error (the reference
         # evaluates in full fp32)
         with jax.default_matmul_precision("highest"):
-            uvp = self.net.apply(params, x)
+            uvp = self._uvp_apply()(params, x)
             e = (self.net_1.apply(params_evm, x)[:, 0:1]
                  if self.evm else jnp.zeros((x.shape[0], 1), x.dtype))
         return uvp[:, 0:1], uvp[:, 1:2], uvp[:, 2:3], e
@@ -975,6 +1017,7 @@ class PINNSolver:
             "layers": self.layers,
             "hidden_size": self.hidden_size,
             "backbone": self.backbone,
+            "formulation": self.formulation,
         }
         if self.evm:
             meta["layers_1"] = self.layers_1
