@@ -132,7 +132,16 @@ def psi_p_derivatives_2d(apply_fn: Callable[[jax.Array], jax.Array],
     _, gy, gyy, gyyy = _directional_third_order(apply_fn, x, ey)
     _, _, m2, m3 = _directional_third_order(apply_fn, x, dp)
     _, _, n2, n3 = _directional_third_order(apply_fn, x, dm)
+    return _assemble_psi_bundle(out, gx, gy, gxx, gyy, m2, n2,
+                                gxxx, gyyy, m3, n3, uv_scale)
 
+
+def _assemble_psi_bundle(out, gx, gy, gxx, gyy, m2, n2,
+                         gxxx, gyyy, m3, n3, uv_scale) -> Derivs:
+    """Directional third-order sweep results [N,2]=(psi,p) per direction
+    -> the (u, v, p) `Derivs` bundle (shared by the generic and the
+    closed-form streamfunction engines; see psi_p_derivatives_2d for the
+    derivation of the mixed-partial recovery)."""
     col = lambda a, k: a[:, k:k + 1]
     psi_x, psi_xx, psi_xxx = col(gx, 0), col(gxx, 0), col(gxxx, 0)
     psi_y, psi_yy, psi_yyy = col(gy, 0), col(gyy, 0), col(gyyy, 0)
@@ -165,6 +174,64 @@ def psi_p_uv(apply_fn: Callable[[jax.Array], jax.Array], x: jax.Array,
     _, fy = jax.jvp(apply_fn, (x,), (ey,))
     return jnp.concatenate([uv_scale * fy[:, 0:1], -uv_scale * fx[:, 0:1],
                             out[:, 1:2]], axis=1)
+
+
+def mlp_psi_derivatives_2d(params: Params, x: jax.Array,
+                           uv_scale: float = 1.0) -> Derivs:
+    """Closed-form third-order tangent propagation through a tanh MLP —
+    the streamfunction analogue of mlp_derivatives_2d (the closed form of
+    what four nested-jvp sweeps trace, and the blueprint for a fused
+    kernel). All four sweep directions share ONE primal forward: the
+    directional tangents ride a stacked [4, N, H] axis, so each hidden
+    layer is 4 batched matmuls against the same W (vs the generic path's
+    4 independent traces, each re-deriving the primal for XLA CSE to
+    clean up). Per layer, with t = tanh(z):
+
+        t'   = 1 - t^2
+        t''  = -2 t t'
+        t''' = -2 t' (1 - 3 t^2)
+
+    and the order-3 chain rule (Faa di Bruno) along a fixed direction:
+
+        h1 = t' z1
+        h2 = t'' z1^2 + t' z2
+        h3 = t''' z1^3 + 3 t'' z1 z2 + t' z3
+
+    First layer handled analytically: its pre-activation tangents are
+    constant rows of W0 (z2 = z3 = 0), avoiding both the matmuls and the
+    constant-operand dots that crash the TPU fusion cost model (see
+    _unit_tangents).
+    """
+    w0, b0 = params[0]
+    z = x @ w0 + b0
+    wx, wy = w0[0], w0[1]
+    dirs = jnp.stack([wx, wy, wx + wy, wx - wy])[:, None, :]  # [4, 1, H]
+    t = jnp.tanh(z)
+    d1 = 1.0 - t * t
+    d2 = -2.0 * t * d1
+    d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
+    h = t
+    h1 = d1[None] * dirs
+    h2 = d2[None] * (dirs * dirs)
+    h3 = d3[None] * (dirs * dirs * dirs)
+
+    for w, b in params[1:-1]:
+        z = h @ w + b
+        z1, z2, z3 = h1 @ w, h2 @ w, h3 @ w
+        t = jnp.tanh(z)
+        d1 = 1.0 - t * t
+        d2 = -2.0 * t * d1
+        d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
+        h = t
+        h3 = d3 * z1 * z1 * z1 + 3.0 * d2 * z1 * z2 + d1 * z3
+        h2 = d2 * z1 * z1 + d1 * z2
+        h1 = d1 * z1
+
+    w, b = params[-1]
+    out = h @ w + b
+    o1, o2, o3 = h1 @ w, h2 @ w, h3 @ w
+    return _assemble_psi_bundle(out, o1[0], o1[1], o2[0], o2[1], o2[2], o2[3],
+                                o3[0], o3[1], o3[2], o3[3], uv_scale)
 
 
 def mlp_derivatives_2d(params: Params, x: jax.Array) -> Derivs:

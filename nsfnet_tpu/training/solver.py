@@ -455,10 +455,17 @@ class PINNSolver:
     def _engine(self, kind: Optional[str] = None):
         kind = kind or self.engine
         if self.formulation == "streamfunction":
-            from nsfnet_tpu.ops.derivatives import psi_p_derivatives_2d
-
             apply = self.net.apply
             scale = self.coord_scale
+            if not self._generic_engine and kind != "generic":
+                # closed-form third-order tanh propagation: one shared
+                # primal, stacked-direction tangents (see derivatives.py)
+                from nsfnet_tpu.ops.derivatives import mlp_psi_derivatives_2d
+
+                return lambda params, x: mlp_psi_derivatives_2d(
+                    params, x, scale)
+            from nsfnet_tpu.ops.derivatives import psi_p_derivatives_2d
+
             return lambda params, x: psi_p_derivatives_2d(
                 lambda z: apply(params, z), x, scale)
         if self._generic_engine:

@@ -95,6 +95,22 @@ def test_psi_engine_vs_nested_jacfwd_on_mlp(x64):
     np.testing.assert_allclose(dy[:, 2], J[:, 1, 1], **tol)           # p_y
 
 
+def test_psi_closed_form_matches_generic(x64):
+    """mlp_psi_derivatives_2d (shared-primal, stacked directions) ==
+    the generic nested-jvp sweeps to fp64 precision."""
+    from nsfnet_tpu.ops.derivatives import mlp_psi_derivatives_2d
+
+    params = init_mlp(jax.random.PRNGKey(8), (2, 40, 40, 40, 2),
+                      dtype=jnp.float64)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (128, 2), jnp.float64)
+    generic = psi_p_derivatives_2d(lambda z: mlp_apply(params, z), x,
+                                   uv_scale=1.7)
+    closed = mlp_psi_derivatives_2d(params, x, uv_scale=1.7)
+    for g, c in zip(generic, closed):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(g),
+                                   rtol=1e-9, atol=1e-12)
+
+
 def test_continuity_identically_zero():
     """u_x + v_y is the SAME array negated — zero to the last bit."""
     params = init_mlp(jax.random.PRNGKey(5), (2, 32, 32, 2))
