@@ -73,4 +73,10 @@ CONT_BEST=$(find results_re5000_cont -name 'model_final.ckpt' -printf '%T@ %p\n'
 run_slot configs/re5000_ev_polish_h160.yaml 8 \
     --init-from "${CONT_BEST:-artifacts/re5000_gentle/final_state.ckpt}"
 
+# Streamfunction formulation at Re=2000 (round-3 feature): exact
+# continuity + stall-aware gentle anneal. Scientifically the most
+# interesting open run — does the hard div-free constraint move the DNS
+# error at production scale the way the Re=100 A/B suggests?
+run_slot configs/re2000_sf_ev.yaml 10
+
 echo "[queue] $(date -u +%H:%M:%S) queue complete" | tee -a "$LOGDIR/queue.log"
