@@ -183,6 +183,7 @@ class PINNSolver:
         self.mesh = mesh if mesh is not None else pmesh.create_mesh(mesh_devices)
         self.rank = jax.process_index()
         self.world_size = self.mesh.devices.size
+        requested_engine = engine
         if engine == "auto":
             is_tpu = self.mesh.devices.flat[0].platform == "tpu"
             engine = "pallas" if (is_tpu and backbone == "mlp") else "xla"
@@ -215,9 +216,15 @@ class PINNSolver:
             # plain MLP; the Fourier-embedded net runs the generic
             # jvp-of-jvp engine (sin/cos differentiate through cleanly)
             self._generic_engine = fourier_features > 0
-            if (self._generic_engine or formulation == "streamfunction") \
+            if self._generic_engine and self.engine == "pallas":
+                # no fused kernel for the Fourier-embedded net
+                self.engine = "xla"
+            elif formulation == "streamfunction" \
+                    and requested_engine != "pallas" \
                     and self.engine == "pallas":
-                # third-order psi sweeps have no fused kernel (yet)
+                # auto never picks the third-order kernel (pallas_psi.py):
+                # it is interpret-validated but not yet measured on real
+                # Mosaic — opt in with engine="pallas" explicitly
                 self.engine = "xla"
         self.backbone = backbone
         params = self.net.init(k_main)
@@ -457,6 +464,12 @@ class PINNSolver:
         if self.formulation == "streamfunction":
             apply = self.net.apply
             scale = self.coord_scale
+            if kind == "pallas" and not self._generic_engine:
+                # fused third-order kernel (explicit opt-in; see __init__)
+                from nsfnet_tpu.ops.pallas_psi import make_fused_psi_derivatives
+
+                fe = make_fused_psi_derivatives(self.matmul_precision)
+                return lambda params, x: fe(params, x, scale)
             if not self._generic_engine and kind != "generic":
                 # closed-form third-order tanh propagation: one shared
                 # primal, stacked-direction tangents (see derivatives.py)

@@ -159,6 +159,34 @@ def test_streamfunction_solver_trains():
     assert np.abs(np.asarray(div)).max() < 1e-5  # fp32 eval roundoff only
 
 
+def test_streamfunction_pallas_engine_matches_xla():
+    """Fused third-order kernel (explicit engine='pallas', interpret mode)
+    == XLA closed form inside the full sharded training step."""
+    from nsfnet_tpu.parallel.mesh import create_mesh
+
+    results = {}
+    for engine in ("xla", "pallas"):
+        solver = _make_sf_solver(hidden_size=16, layers=2, engine=engine,
+                                 mesh=create_mesh(8))
+        assert solver.engine == engine  # explicit pallas is honored
+        data = CavityData(N_f=128, sort_training_points=False, seed=0)
+        solver.set_boundary_data(X=data.boundary_data())
+        solver.set_eq_training_data(X=data.training_data(),
+                                    weights=data.sdf_weights)
+        solver.train(num_epoch=3, lr=1e-3)
+        leaves = jax.tree.leaves(solver.state.params)
+        results[engine] = np.concatenate(
+            [np.asarray(l).ravel() for l in leaves])
+    np.testing.assert_allclose(results["pallas"], results["xla"],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_streamfunction_auto_engine_stays_xla():
+    """auto never picks the third-order kernel (unmeasured on Mosaic)."""
+    solver = _make_sf_solver(engine="auto")
+    assert solver.engine == "xla"
+
+
 def test_streamfunction_checkpoint_roundtrip(tmp_path):
     solver = _make_sf_solver(checkpoint_path=str(tmp_path))
     _attach(solver)
