@@ -252,7 +252,10 @@ class ConfigManager:
             warnings.append(f"unknown network.formulation "
                             f"{c.network.formulation!r}")
         elif c.network.formulation == "streamfunction" \
-                and c.network.backbone != "mlp":
+                and (c.network.backbone != "mlp"
+                     or c.model_variant == "kan"):
+            # model_variant: kan forcibly maps to backbone='kan' in
+            # build_solver — catch it here, not as a raw constructor error
             warnings.append("formulation: streamfunction requires the MLP "
                             "backbone")
         if c.training.rar_pool_mult < 0:

@@ -176,6 +176,18 @@ def psi_p_uv(apply_fn: Callable[[jax.Array], jax.Array], x: jax.Array,
                             out[:, 1:2]], axis=1)
 
 
+def tanh_chain(t: jax.Array):
+    """tanh', tanh'', tanh''', tanh'''' expressed in t = tanh(z) — the ONE
+    copy of the third/fourth-order tanh algebra shared by the closed-form
+    XLA engine and the fused Pallas kernels (forward and adjoint); unused
+    orders are dead-code-eliminated by the compiler."""
+    d1 = 1.0 - t * t
+    d2 = -2.0 * t * d1
+    d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
+    d4 = -2.0 * (d2 * (1.0 - 3.0 * t * t) - 6.0 * t * d1 * d1)
+    return d1, d2, d3, d4
+
+
 def mlp_psi_derivatives_2d(params: Params, x: jax.Array,
                            uv_scale: float = 1.0) -> Derivs:
     """Closed-form third-order tangent propagation through a tanh MLP —
@@ -207,9 +219,7 @@ def mlp_psi_derivatives_2d(params: Params, x: jax.Array,
     wx, wy = w0[0], w0[1]
     dirs = jnp.stack([wx, wy, wx + wy, wx - wy])[:, None, :]  # [4, 1, H]
     t = jnp.tanh(z)
-    d1 = 1.0 - t * t
-    d2 = -2.0 * t * d1
-    d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
+    d1, d2, d3, _ = tanh_chain(t)
     h = t
     h1 = d1[None] * dirs
     h2 = d2[None] * (dirs * dirs)
@@ -219,9 +229,7 @@ def mlp_psi_derivatives_2d(params: Params, x: jax.Array,
         z = h @ w + b
         z1, z2, z3 = h1 @ w, h2 @ w, h3 @ w
         t = jnp.tanh(z)
-        d1 = 1.0 - t * t
-        d2 = -2.0 * t * d1
-        d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
+        d1, d2, d3, _ = tanh_chain(t)
         h = t
         h3 = d3 * z1 * z1 * z1 + 3.0 * d2 * z1 * z2 + d1 * z3
         h2 = d2 * z1 * z1 + d1 * z2

@@ -75,13 +75,17 @@ def bwd_tile_for(n_hidden: int, hidden: int) -> int:
     # compiler's double-buffered I/O and temporaries (T=512 with H=80 was
     # measured to OOM at 21 MB scoped)
     hidden_padded = -(-hidden // 128) * 128  # VMEM lane padding
-    for t in (512, 256, 128, 64):
+    # only divisors of TILE are valid: the forward pads batches to TILE
+    # multiples, and a larger/non-dividing backward tile breaks the grid
+    candidates = [t for t in (512, 256, 128, 64, 32, 16, 8)
+                  if t <= TILE and TILE % t == 0]
+    for t in candidates[:-1]:
         live = (n_hidden * 5 * t * hidden_padded          # packs
                 + (n_hidden - 1) * 4 * t * hidden_padded  # ztans
                 + 20 * t * hidden_padded) * 4             # working set
         if live <= budget:
             return t
-    return 32
+    return candidates[-1]
 
 # MXU precision for the kernel matmuls. The kernel is compute-bound (VMEM
 # resident), so passes matter: highest = 6-pass exact fp32, high = 3-pass

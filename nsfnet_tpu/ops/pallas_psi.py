@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nsfnet_tpu.models.mlp import Params
-from nsfnet_tpu.ops.derivatives import _assemble_psi_bundle
+from nsfnet_tpu.ops.derivatives import _assemble_psi_bundle, tanh_chain
 from nsfnet_tpu.ops.pallas_mlp import (
     TILE,
     _PRECISIONS,
@@ -82,20 +82,20 @@ def bwd_tile_for_psi(n_hidden: int, hidden: int) -> int:
         return t
     budget = 10 * 1024 * 1024
     hidden_padded = -(-hidden // 128) * 128
-    for t in (256, 128, 64):
+    candidates = [t for t in (256, 128, 64, 32, 16, 8)
+                  if t <= TILE and TILE % t == 0]
+    for t in candidates[:-1]:
         live = (n_hidden * N_STREAMS * t * hidden_padded   # packs
                 + (n_hidden - 1) * 12 * t * hidden_padded  # ztans
                 + 40 * t * hidden_padded) * 4              # working set
         if live <= budget:
             return t
-    return 32
+    return candidates[-1]
 
 
 def _tanh_derivs(z):
     t = jnp.tanh(z)
-    d1 = 1.0 - t * t
-    d2 = -2.0 * t * d1
-    d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
+    d1, d2, d3, _ = tanh_chain(t)
     return t, d1, d2, d3
 
 
@@ -226,10 +226,7 @@ def _bwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
     # ---- hidden transitions, reverse
     for l in range(n_hidden - 1, 0, -1):
         t = ts[l]
-        d1 = 1.0 - t * t
-        d2 = -2.0 * t * d1
-        d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
-        d4 = -2.0 * (d2 * (1.0 - 3.0 * t * t) - 6.0 * t * d1 * d1)
+        d1, d2, d3, d4 = tanh_chain(t)
         zt = _split(ztans[l], t_dim, 12)   # z1_k, z2_k, z3_k per direction
         gs = _split(gp, t_dim, N_STREAMS)  # gh, gA_k, gB_k, gC_k
         gh = gs[0]
@@ -254,11 +251,7 @@ def _bwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
         gp = _dot_nt(g_zpack, w_refs[2 * l][:], prec)
 
     # ---- first layer (analytic tangents; rows of W0 get direct terms)
-    t = t0
-    d1 = 1.0 - t * t
-    d2 = -2.0 * t * d1
-    d3 = -2.0 * d1 * (1.0 - 3.0 * t * t)
-    d4 = -2.0 * (d2 * (1.0 - 3.0 * t * t) - 6.0 * t * d1 * d1)
+    d1, d2, d3, d4 = tanh_chain(t0)
     rows = _dir_rows(w0)
     gs = _split(gp, t_dim, N_STREAMS)
     gh = gs[0]

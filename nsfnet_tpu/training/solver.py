@@ -197,7 +197,7 @@ class PINNSolver:
                 raise ValueError(
                     "formulation='streamfunction' supports the MLP backbone")
             num_outs = 2  # (psi, p); u/v are psi derivatives
-            if net_params:
+            if net_params and net_params.endswith(".pth"):
                 raise ValueError(
                     ".pth import is velocity-formulation only (the "
                     "reference nets predict (u, v, p) directly)")
@@ -1059,8 +1059,17 @@ class PINNSolver:
 
     def load(self, path: str):
         self._ensure_vis_shape_for_load()
-        self.state = ckpt.restore_state(path, self.state)
         meta = ckpt.load_metadata(path)
+        if meta and meta.get("formulation", "velocity") != self.formulation:
+            # flax.from_bytes would silently restore the foreign-head
+            # params into this solver's template (the shapes can even
+            # coincide) — the net would then train garbage physics
+            raise ValueError(
+                f"checkpoint {path} was written by a "
+                f"{meta.get('formulation', 'velocity')!r}-formulation "
+                f"solver; this solver is {self.formulation!r} (the heads "
+                f"predict different quantities)")
+        self.state = ckpt.restore_state(path, self.state)
         if meta:
             self.global_step = int(meta.get("global_step", self.global_step))
             self.current_stage = meta.get("stage", self.current_stage)

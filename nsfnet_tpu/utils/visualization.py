@@ -35,6 +35,48 @@ def streamplot_cavity(solver, n: int = 100, out_path: str = "cavity.png",
     return out_path
 
 
+def psi_contours(solver, n: int = 201, out_path: str = "psi.png",
+                 title: str = "Streamfunction"):
+    """Iso-contours of the NET'S OWN psi output — for
+    formulation='streamfunction' solvers these are the EXACT streamlines
+    of the predicted flow (no numerical integration of (u, v) as in
+    streamplot_cavity), including the weak corner eddies that streamline
+    integration smears out."""
+    if getattr(solver, "formulation", "velocity") != "streamfunction":
+        raise ValueError("psi_contours requires a streamfunction solver "
+                         "(the velocity formulation has no psi output)")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax.numpy as jnp
+    import matplotlib.pyplot as plt
+
+    g = np.linspace(0.0, 1.0, n)
+    X, Y = np.meshgrid(g, g)
+    pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], axis=1),
+                      jnp.float32)
+    psi = np.asarray(solver.net.apply(solver.state.params, pts)[:, 0])
+    P = psi.reshape(n, n) - psi.reshape(n, n).mean()
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    # log-spaced levels resolve the weak secondary/corner eddies (psi
+    # spans ~4 orders of magnitude between the primary vortex and corners)
+    amax = np.abs(P).max() or 1.0
+    levels = np.concatenate([-amax * np.logspace(-4, 0, 12)[::-1],
+                             amax * np.logspace(-4, 0, 12)])
+    cs = ax.contour(X, Y, P, levels=np.sort(levels), linewidths=0.8,
+                    cmap="RdBu_r")
+    fig.colorbar(cs, ax=ax, label="psi (gauge-centered)")
+    ax.set_title(title)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_aspect("equal")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def kan_plot(kan, params, out_path: str = "kan_splines.png", n_pts: int = 101):
     """Visualize each learned KAN edge function phi_ij (parity with pykan's
     model.plot, physics_informed_kan.ipynb cell 3).

@@ -50,6 +50,11 @@ def main(config_path, ckpt_glob, out_dir):
 
         kan_plot(solver.net, solver.state.params,
                  out_path=os.path.join(out_dir, "kan_splines.png"))
+    if solver.formulation == "streamfunction":
+        from nsfnet_tpu.utils.visualization import psi_contours
+
+        psi_contours(solver, out_path=os.path.join(out_dir, "psi.png"),
+                     title=f"psi, Re={cfg.physics.Re:g}")
 
     if cfg.eval_data and os.path.exists(cfg.eval_data):
         from nsfnet_tpu.utils.visualization import centerline_profiles

@@ -84,6 +84,9 @@ def test_x_receives_zero_cotangent():
 
 def test_bwd_tile_budget():
     assert bwd_tile_for_psi(6, 80) >= 64
-    assert bwd_tile_for_psi(8, 512) == 32
-    t = bwd_tile_for_psi(6, 160)
-    assert TILE % t == 0 and t >= 32
+    # every auto-picked tile must divide TILE (the forward pad granule)
+    for args in ((6, 80), (8, 512), (6, 160), (2, 16)):
+        t = bwd_tile_for_psi(*args)
+        assert TILE % t == 0 and t >= 8, (args, t)
+    # wide-deep nets fall to small tiles to stay within the VMEM budget
+    assert bwd_tile_for_psi(8, 512) <= 32

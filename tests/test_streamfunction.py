@@ -207,3 +207,58 @@ def test_streamfunction_rejects_bad_combos():
     with pytest.raises(ValueError):
         PINNSolver(Re=100, layers=3, layers_1=2, hidden_size=24,
                    hidden_size_1=12, N_f=64, formulation="nonsense")
+
+
+def test_cross_formulation_checkpoint_rejected(tmp_path):
+    """A velocity checkpoint must not silently restore into a
+    streamfunction solver (flax.from_bytes does no semantic validation —
+    the heads predict different quantities)."""
+    from nsfnet_tpu.training.solver import PINNSolver as S
+
+    vel = S(Re=100, layers=3, layers_1=2, hidden_size=24, hidden_size_1=12,
+            N_f=64, log_interval=10**9, checkpoint_freq=10**9, seed=1,
+            checkpoint_path=str(tmp_path))
+    path = vel.save("vel.ckpt", directory=str(tmp_path))
+    sf = _make_sf_solver(checkpoint_path=str(tmp_path))
+    with pytest.raises(ValueError, match="formulation"):
+        sf.load(path)
+
+
+def test_constructor_loads_streamfunction_ckpt(tmp_path):
+    """net_params accepts a full-state .ckpt written by the SAME
+    formulation (only .pth torch imports are velocity-only)."""
+    solver = _make_sf_solver(checkpoint_path=str(tmp_path))
+    _attach(solver)
+    solver.train(num_epoch=5, lr=1e-3)
+    path = solver.save("sf_full.ckpt", directory=str(tmp_path))
+    clone = _make_sf_solver(seed=3, checkpoint_path=str(tmp_path),
+                            net_params=path)
+    a = jax.tree.leaves(solver.state.params)
+    b = jax.tree.leaves(clone.state.params)
+    for x_, y_ in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x_), np.asarray(y_))
+    with pytest.raises(ValueError, match="velocity-formulation"):
+        _make_sf_solver(net_params="donor.pth")
+
+
+def test_psi_contours_artifact(tmp_path):
+    import os
+
+    from nsfnet_tpu.utils.visualization import psi_contours
+
+    solver = _make_sf_solver()
+    path = psi_contours(solver, n=21, out_path=str(tmp_path / "psi.png"))
+    assert os.path.getsize(path) > 0
+    vel = PINNSolver(Re=100, layers=2, layers_1=2, hidden_size=12,
+                     hidden_size_1=8, N_f=64)
+    with pytest.raises(ValueError):
+        psi_contours(vel)
+
+
+def test_config_rejects_kan_variant_streamfunction():
+    from nsfnet_tpu.config import ConfigManager
+
+    cm = ConfigManager()
+    cm.config.model_variant = "kan"
+    cm.config.network.formulation = "streamfunction"
+    assert any("streamfunction" in w for w in cm.validate())
