@@ -59,13 +59,19 @@ def main():
     ap.add_argument("--bwd", default="auto,64,128,256")
     ap.add_argument("--nf", type=int, default=120000)
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--lane-pad", default="0",
+                    help="comma list of NSFNET_PALLAS_LANE_PAD values "
+                         "(0=off, 128=pad hidden dims to full MXU lanes — "
+                         "the fp32 occupancy experiment, VERDICT r2 weak #2)")
     args = ap.parse_args()
 
     rows = []
     for tile in args.tiles.split(","):
+      for lane in args.lane_pad.split(","):
         for bwd in args.bwd.split(","):
             env = dict(os.environ)
             env["NSFNET_PALLAS_TILE"] = tile
+            env["NSFNET_PALLAS_LANE_PAD"] = lane
             if bwd != "auto":
                 env["NSFNET_PALLAS_BWD_TILE"] = bwd
             else:
@@ -85,7 +91,7 @@ def main():
                 # one wedged TPU combo must not abort the sweep — record an
                 # error row and keep going
                 err = "timeout after 1800s (hung device dispatch?)"
-            row = {"tile": tile, "bwd_tile": bwd,
+            row = {"tile": tile, "bwd_tile": bwd, "lane_pad": lane,
                    "pts_per_s": round(pts, 1) if pts else None,
                    "vs_baseline": round(pts / 142000.0, 2) if pts else None,
                    "error": err}

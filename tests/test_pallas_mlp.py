@@ -84,6 +84,38 @@ def test_pad_helper():
     assert pad_for_pallas(TILE + 1) == 2 * TILE
 
 
+def test_lane_padded_engine_exact():
+    """lane_pad=128 (MXU occupancy experiment) is numerically EXACT:
+    padded units carry structural zeros; values and gradients match the
+    unpadded engine."""
+    from nsfnet_tpu.ops.pallas_mlp import make_fused_mlp_derivatives
+
+    params, x = _setup(n=TILE, sizes=(2, 80, 80, 80, 3), seed=4)
+    plain = make_fused_mlp_derivatives("highest", 0)
+    padded = make_fused_mlp_derivatives("highest", 128)
+
+    for r, g in zip(plain(params, x), padded(params, x)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-7)
+
+    def f(engine):
+        return lambda p: sum(jnp.mean(t**2) for t in engine(p, x))
+
+    g_ref = jax.grad(f(plain))(params)
+    g_got = jax.grad(f(padded))(params)
+    for (wr, br), (wg, bg) in zip(g_ref, g_got):
+        assert wg.shape == wr.shape and bg.shape == br.shape
+        np.testing.assert_allclose(np.asarray(wg), np.asarray(wr),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(bg), np.asarray(br),
+                                   rtol=1e-5, atol=1e-7)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_fused_mlp_derivatives("highest", 100)
+
+
 def test_wide_network_grads():
     """Dynamic backward tiling keeps wide nets within the VMEM budget."""
     from nsfnet_tpu.ops.pallas_mlp import bwd_tile_for
