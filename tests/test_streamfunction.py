@@ -241,6 +241,25 @@ def test_constructor_loads_streamfunction_ckpt(tmp_path):
         _make_sf_solver(net_params="donor.pth")
 
 
+def test_streamfunction_evaluate_and_test_driver(tmp_path):
+    """evaluate()/test() run through _uvp_apply for the streamfunction
+    head (fp32 eval precision, NaN-masked p) — same contract as velocity."""
+    solver = _make_sf_solver()
+    rng = np.random.default_rng(0)
+    n = 64
+    x, y = rng.uniform(0, 1, (n, 1)), rng.uniform(0, 1, (n, 1))
+    u, v = rng.normal(size=(n, 1)), rng.normal(size=(n, 1))
+    p = rng.normal(size=(n, 1))
+    p[::7] = np.nan  # reference eval fields carry NaN pressure rows
+    errs = solver.evaluate(x, y, u, v, p)
+    for k in ("u", "v", "p", "p_gauge"):
+        assert np.isfinite(errs[k]), (k, errs)
+    solver.test(x, y, u, v, p, loop=1, save_dir=str(tmp_path))
+    import glob
+
+    assert glob.glob(str(tmp_path) + "/*.mat")
+
+
 def test_psi_contours_artifact(tmp_path):
     import os
 
