@@ -1108,6 +1108,26 @@ class PINNSolver:
                          if vtm is not None else None),
         )
 
+    def save_torch(self, path: str) -> str:
+        """Export the live networks as reference-format torch ``.pth``
+        state_dicts (main net at ``path``, EVM net at ``<path>_evm`` —
+        the reference's own sibling convention), so models trained in
+        this framework replay through the reference's tooling
+        (ev-NSFnet/test.py:27-99). Plain-MLP velocity nets only: FCNet
+        has no Fourier embedding, KAN, or (psi, p) head."""
+        from nsfnet_tpu.utils import torch_import as ti
+
+        if (self.backbone != "mlp"
+                or getattr(self.net, "fourier_features", 0)
+                or self.formulation != "velocity"):
+            raise ValueError(
+                ".pth export requires the plain velocity-formulation MLP "
+                "(the reference's FCNet predicts (u, v, p) directly)")
+        params = jax.device_get(self.state.params)
+        params_evm = (jax.device_get(self.state.params_evm)
+                      if self.evm else None)
+        return ti.save_torch_params(params, path, params_evm)
+
     def load_torch(self, net_params: str, net_params_1: Optional[str] = None):
         """Import reference-format torch ``.pth`` state_dicts (the published
         checkpoints: bare FCNet state_dicts, ev-NSFnet/pinn_solver.py:108-120)

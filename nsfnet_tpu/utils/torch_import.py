@@ -60,3 +60,31 @@ def load_torch_params(path: str):
 
 def params_shapes(params) -> Tuple[Tuple[int, ...], ...]:
     return tuple(tuple(w.shape) for w, _ in params)
+
+
+def params_to_state_dict(params):
+    """Inverse of ``state_dict_to_params``: MLP ``Params`` -> an FCNet
+    state_dict (torch tensors, [fan_out, fan_in] weights, reference key
+    names) so checkpoints trained HERE replay in the reference's own
+    tooling (ev-NSFnet/test.py:27-99 loads exactly this format)."""
+    import torch
+
+    sd = {}
+    for idx, (w, b) in enumerate(params):
+        sd[f"layers.layer_{idx}.weight"] = torch.from_numpy(
+            np.asarray(w, dtype=np.float32).T.copy())
+        sd[f"layers.layer_{idx}.bias"] = torch.from_numpy(
+            np.asarray(b, dtype=np.float32).copy())
+    return sd
+
+
+def save_torch_params(params, path: str, params_evm=None):
+    """Write reference-format ``.pth`` file(s): the main net at ``path``
+    and, as the reference's sibling convention, the EVM net at
+    ``<path>_evm`` (ev-NSFnet/pinn_solver.py:755-759)."""
+    import torch
+
+    torch.save(params_to_state_dict(params), path)
+    if params_evm is not None:
+        torch.save(params_to_state_dict(params_evm), path + "_evm")
+    return path

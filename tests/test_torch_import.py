@@ -87,3 +87,36 @@ def test_shape_mismatch_raises(tmp_path):
 def test_bad_keys_raise():
     with pytest.raises(ValueError, match="unrecognized"):
         state_dict_to_params({"encoder.weight": torch.zeros(3, 3)})
+
+
+def test_pth_export_roundtrip(tmp_path):
+    """save_torch -> reference-format .pth (+_evm sibling) -> net_params
+    reload reproduces the exporting solver bit-exactly, and the exported
+    dict drives the reference's own FCNet forward."""
+    src = PINNSolver(Re=100, layers=2, layers_1=2, hidden_size=12,
+                     hidden_size_1=8, N_f=64, log_interval=10**9,
+                     checkpoint_freq=10**9, seed=11)
+    p = str(tmp_path / "export.pth")
+    src.save_torch(p)
+
+    sd = torch.load(p, map_location="cpu", weights_only=True)
+    x = np.random.default_rng(7).uniform(size=(19, 2)).astype(np.float32)
+    ref = _torch_forward(sd, x)
+
+    clone = PINNSolver(Re=100, layers=2, layers_1=2, hidden_size=12,
+                       hidden_size_1=8, N_f=64, net_params=p,
+                       log_interval=10**9, checkpoint_freq=10**9, seed=0)
+    u, v, _, e = clone.predict((x[:, :1], x[:, 1:]))
+    np.testing.assert_allclose(np.asarray(u)[:, 0], ref[:, 0],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v)[:, 0], ref[:, 1],
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(src.state.params, clone.state.params):
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    # non-FCNet heads cannot export
+    sf = PINNSolver(Re=100, layers=2, layers_1=2, hidden_size=12,
+                    hidden_size_1=8, N_f=64, formulation="streamfunction",
+                    seed=1)
+    with pytest.raises(ValueError, match="export"):
+        sf.save_torch(str(tmp_path / "nope.pth"))
