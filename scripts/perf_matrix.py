@@ -118,6 +118,21 @@ def main():
         })
         print(json.dumps(rows[-1]), flush=True)
 
+    # streamfunction formulation: third-order engines (13 packed streams
+    # vs 5 — expect ~2.5x the per-point cost of the velocity kernel).
+    # The explicit-pallas row only runs on real hardware: interpret mode
+    # on CPU is hours-slow for a fused kernel.
+    sf_engines = [("xla", "sf/xla-closed-form")]
+    if on_tpu:
+        sf_engines.append(("pallas", "sf/pallas"))
+    for eng, label in sf_engines:
+        pts = measure(build(n_f, formulation="streamfunction", engine=eng,
+                            matmul_precision="high"), n_f, steps)
+        rows.append({"config": f"{label} high",
+                     "pts_per_s_per_chip": round(pts, 1),
+                     "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+        print(json.dumps(rows[-1]), flush=True)
+
     # KAN backbone: generic jvp engine (no fused kernel yet); smaller N_f —
     # its activation footprint per point is much larger than the MLP's
     kan = build(kan_n_f, backbone="kan", kan_width=(2, 16, 16, 8),
