@@ -181,6 +181,28 @@ def test_streamfunction_pallas_engine_matches_xla():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_streamfunction_fourier_combo_trains():
+    """Fourier embedding + streamfunction rides the generic nested-jvp
+    third-order path (sin/cos differentiate through cleanly)."""
+    solver = _make_sf_solver(fourier_features=8, fourier_sigma=2.0,
+                             hidden_size=16, layers=2)
+    assert solver.engine == "xla" and solver._generic_engine
+    _attach(solver, n_f=256)
+    solver._ensure_ready()
+    before, _ = solver._loss_fn(
+        (solver.state.params, solver.state.params_evm), solver._batch,
+        solver.state.vis_t_minus, solver._stage_scalars(0.0))
+    solver.train(num_epoch=60, lr=1e-3)
+    after, _ = solver._loss_fn(
+        (solver.state.params, solver.state.params_evm), solver._batch,
+        solver.state.vis_t_minus, solver._stage_scalars(0.0))
+    assert float(after) < float(before)
+    # continuity stays exact through the embedding
+    g = np.linspace(0.1, 0.9, 5)
+    div = solver.divergence(g.reshape(-1, 1), g.reshape(-1, 1))
+    assert np.abs(np.asarray(div)).max() < 1e-6
+
+
 def test_streamfunction_auto_engine_stays_xla():
     """auto never picks the third-order kernel (unmeasured on Mosaic)."""
     solver = _make_sf_solver(engine="auto")
