@@ -978,11 +978,20 @@ class PINNSolver:
         shape = (side, side)
         out_dir = save_dir or os.path.join(
             self.checkpoint_path, f"Re{self.Re:g}", "test_result")
+        extra = {}
+        if self.formulation == "streamfunction":
+            # the raw net psi — EXACT streamlines of the predicted flow
+            pts = jnp.concatenate(
+                [jnp.asarray(x, jnp.float32).reshape(-1, 1),
+                 jnp.asarray(y, jnp.float32).reshape(-1, 1)], axis=1)
+            psi = self.net.apply(self.state.params, pts)[:, 0]
+            extra["PSI_pred"] = np.asarray(psi).reshape(shape)
         if self.rank == 0:
             os.makedirs(out_dir, exist_ok=True)
             scipy.io.savemat(
                 os.path.join(out_dir, f"cavity_result_loop_{loop}.mat"),
                 {
+                    **extra,
                     "U_pred": np.asarray(u_pred).reshape(shape),
                     "V_pred": np.asarray(v_pred).reshape(shape),
                     "P_pred": np.asarray(p_pred).reshape(shape),

@@ -279,7 +279,12 @@ def test_streamfunction_evaluate_and_test_driver(tmp_path):
     solver.test(x, y, u, v, p, loop=1, save_dir=str(tmp_path))
     import glob
 
-    assert glob.glob(str(tmp_path) + "/*.mat")
+    import scipy.io
+
+    mats = glob.glob(str(tmp_path) + "/*.mat")
+    assert mats
+    dump = scipy.io.loadmat(mats[0])
+    assert "PSI_pred" in dump  # streamfunction dumps the raw psi field
 
 
 def test_psi_contours_artifact(tmp_path):
