@@ -12,8 +12,8 @@ cd "$(dirname "$0")/.."
 LOGDIR=logs/round3b
 mkdir -p "$LOGDIR"
 
-SLOT_A_END=$(date -u -d '2026-08-18 16:30' +%s)
-SLOT_B_END=$(date -u -d '2026-08-18 22:35' +%s)
+SLOT_A_END=$(date -u -d '2026-08-18 19:05' +%s)
+SLOT_B_END=$(date -u -d '2026-08-19 01:25' +%s)
 
 wait_for_tpu() {
   for i in $(seq 1 100); do
