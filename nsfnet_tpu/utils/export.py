@@ -1,0 +1,146 @@
+"""AOT model export for serving: the solver's prediction function —
+params baked in, batch dimension symbolic — serialized to a portable
+StableHLO artifact via `jax.export`.
+
+The reference has no serving story: deploying an ev-NSFnet model means
+shipping the torch checkpoint plus the full training stack, and test-time
+prediction rebuilds the whole solver (ev-NSFnet/test.py:27-99,
+pinn_solver.py:280-288). TPU-native serving does better: lower the jitted
+predict fn ONCE (shape-polymorphic batch, multi-platform cpu+tpu), ship
+one self-contained artifact. The serving process needs only `jax` and the
+blob — no model code, no config, no checkpoint format — and the lowering
+is frozen, so serving results cannot drift under framework refactors.
+
+Artifact layout: `<path>` holds the serialized `jax.export.Exported`
+bytes; `<path>.json` is a human-readable sidecar (architecture,
+formulation, Re, jax version, platforms) for inventory tooling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+SIDECAR_SUFFIX = ".json"
+
+
+def _predict_fn(solver):
+    """Pure (pts[N,2] f32) -> [N,4] f32 (u, v, p, e) with the solver's
+    CURRENT params closed over as constants. Mirrors predict()'s contract:
+    always exact-fp32 matmuls regardless of the training precision."""
+    params = jax.device_get(solver.state.params)
+    uvp_apply = solver._uvp_apply()
+    if solver.evm:
+        params_evm = jax.device_get(solver.state.params_evm)
+        evm_apply = solver.net_1.apply
+    else:
+        params_evm, evm_apply = None, None
+
+    def predict(pts):
+        with jax.default_matmul_precision("highest"):
+            uvp = uvp_apply(params, pts)
+            if evm_apply is not None:
+                e = evm_apply(params_evm, pts)[:, 0:1]
+            else:
+                e = jnp.zeros((pts.shape[0], 1), pts.dtype)
+        return jnp.concatenate([uvp, e], axis=1)
+
+    return predict
+
+
+def export_predict(solver, path: str, platforms=("cpu", "tpu")) -> dict:
+    """Serialize the solver's prediction head to `path` (+ `.json` sidecar).
+
+    `platforms` lists every backend the artifact must serve on; lowering
+    for "tpu" does NOT require TPU hardware to be present at export time.
+    Returns the sidecar metadata dict.
+    """
+    from jax import export as jexport
+
+    (n,) = jexport.symbolic_shape("n")
+    spec = jax.ShapeDtypeStruct((n, 2), jnp.float32)
+    exported = jexport.export(
+        jax.jit(_predict_fn(solver)), platforms=list(platforms))(spec)
+    blob = exported.serialize()
+
+    meta = {
+        "kind": "nsfnet_tpu.predict",
+        "outputs": ["u", "v", "p", "e"],
+        "input": "[n, 2] float32 (x, y)",
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version": exported.calling_convention_version,
+        "formulation": solver.formulation,
+        "backbone": solver.backbone,
+        "Re": float(solver.current_re),
+        "evm": bool(solver.evm),
+        "global_step": int(solver.global_step),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic, same contract as checkpoint writes
+    with open(path + SIDECAR_SUFFIX, "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def load_predict(path: str):
+    """Deserialize an exported artifact into a callable
+    (pts[N,2] f32) -> [N,4] f32, any N. No model code required."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+
+    def call(pts):
+        pts = jnp.asarray(pts, jnp.float32).reshape(-1, 2)
+        return exported.call(pts)
+
+    return call
+
+
+def main(argv=None):
+    """CLI: export a trained checkpoint's prediction head.
+
+    python -m nsfnet_tpu.utils.export --config configs/re5000_production.yaml \
+        --ckpt results/.../model_final.ckpt --out artifacts/re5000_predict.hlo
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="Export predict head to StableHLO")
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt", required=True, help="full-state checkpoint")
+    p.add_argument("--out", required=True, help="artifact path")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from nsfnet_tpu.config import ConfigManager
+    from nsfnet_tpu.data.cavity import CavityData
+    from nsfnet_tpu.train import build_solver
+
+    cfg = ConfigManager.from_file(args.config).config
+    solver = build_solver(cfg)
+    # restore template (collocation shapes size the vis_t carry)
+    data = CavityData(N_f=cfg.training.N_f,
+                      sort_training_points=cfg.training.sort_training_points,
+                      sdf_enabled=cfg.training.sdf_weighting.enabled,
+                      seed=cfg.training.seed)
+    solver.set_boundary_data(X=data.boundary_data())
+    solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    solver.load(args.ckpt)
+    meta = export_predict(solver, args.out,
+                          platforms=tuple(args.platforms.split(",")))
+    print(json.dumps(meta))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
