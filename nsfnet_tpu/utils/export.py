@@ -51,24 +51,47 @@ def _predict_fn(solver):
     return predict
 
 
-def export_predict(solver, path: str, platforms=("cpu", "tpu")) -> dict:
-    """Serialize the solver's prediction head to `path` (+ `.json` sidecar).
+def _residual_fn(solver):
+    """Pure (pts[N,2] f32) -> [N] f32 per-point PDE residual magnitude
+    sqrt(eq1^2+eq2^2+eq3^2) under the solver's CURRENT nets and physics
+    (EVM effective viscosity included when enabled) — the served
+    physics-QC head, same contract as solver.residuals_at()."""
+    from nsfnet_tpu.ops.residuals import ev_ns_residuals, ns_residuals
 
-    `platforms` lists every backend the artifact must serve on; lowering
-    for "tpu" does NOT require TPU hardware to be present at export time.
-    Returns the sidecar metadata dict.
-    """
+    params = jax.device_get(solver.state.params)
+    engine = solver._engine("xla")
+    evm = solver.evm
+    params_evm = jax.device_get(solver.state.params_evm) if evm else None
+    apply_evm = solver.net_1.apply if evm else None
+    coord_scale = solver.coord_scale
+    re = float(solver.current_re)
+    alpha_evm = float(solver.alpha_evm)
+
+    def score(pts):
+        with jax.default_matmul_precision("highest"):
+            derivs = engine(params, pts)
+            if evm:
+                e = apply_evm(params_evm, pts)[:, 0:1]
+                vis_t = jnp.minimum(20.0 / re, alpha_evm * jnp.abs(e))
+                r = ev_ns_residuals(derivs, e, vis_t, re, coord_scale)
+            else:
+                r = ns_residuals(derivs, re, coord_scale)
+        return jnp.sqrt(r.eq1**2 + r.eq2**2 + r.eq3**2)[:, 0]
+
+    return score
+
+
+def _export(solver, fn, path, platforms, kind, outputs) -> dict:
     from jax import export as jexport
 
     (n,) = jexport.symbolic_shape("n")
     spec = jax.ShapeDtypeStruct((n, 2), jnp.float32)
-    exported = jexport.export(
-        jax.jit(_predict_fn(solver)), platforms=list(platforms))(spec)
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(spec)
     blob = exported.serialize()
 
     meta = {
-        "kind": "nsfnet_tpu.predict",
-        "outputs": ["u", "v", "p", "e"],
+        "kind": kind,
+        "outputs": outputs,
         "input": "[n, 2] float32 (x, y)",
         "platforms": list(platforms),
         "jax_version": jax.__version__,
@@ -86,6 +109,27 @@ def export_predict(solver, path: str, platforms=("cpu", "tpu")) -> dict:
     with open(path + SIDECAR_SUFFIX, "w") as f:
         json.dump(meta, f, indent=1)
     return meta
+
+
+def export_predict(solver, path: str, platforms=("cpu", "tpu")) -> dict:
+    """Serialize the solver's prediction head to `path` (+ `.json` sidecar).
+
+    `platforms` lists every backend the artifact must serve on; lowering
+    for "tpu" does NOT require TPU hardware to be present at export time.
+    Returns the sidecar metadata dict.
+    """
+    return _export(solver, _predict_fn(solver), path, platforms,
+                   kind="nsfnet_tpu.predict", outputs=["u", "v", "p", "e"])
+
+
+def export_residuals(solver, path: str, platforms=("cpu", "tpu")) -> dict:
+    """Serialize the physics-QC head — per-point PDE residual magnitude at
+    arbitrary points — alongside the prediction artifact, so a serving
+    deployment can bound the model's equation error on live query points
+    without any framework code."""
+    return _export(solver, _residual_fn(solver), path, platforms,
+                   kind="nsfnet_tpu.residuals",
+                   outputs=["sqrt(eq1^2+eq2^2+eq3^2)"])
 
 
 def load_predict(path: str):
@@ -117,6 +161,9 @@ def main(argv=None):
     p.add_argument("--out", required=True, help="artifact path")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--residuals", action="store_true",
+                   help="also export the physics-QC residual head "
+                        "(<out>.residuals)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args(argv)
     if args.cpu:
@@ -136,9 +183,12 @@ def main(argv=None):
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
     solver.load(args.ckpt)
-    meta = export_predict(solver, args.out,
-                          platforms=tuple(args.platforms.split(",")))
+    platforms = tuple(args.platforms.split(","))
+    meta = export_predict(solver, args.out, platforms=platforms)
     print(json.dumps(meta))
+    if args.residuals:
+        print(json.dumps(export_residuals(
+            solver, args.out + ".residuals", platforms=platforms)))
     return 0
 
 

@@ -14,7 +14,8 @@ import pytest
 
 from nsfnet_tpu.data.cavity import CavityData
 from nsfnet_tpu.training.solver import PINNSolver
-from nsfnet_tpu.utils.export import export_predict, load_predict
+from nsfnet_tpu.utils.export import (export_predict, export_residuals,
+                                     load_predict)
 
 
 def _solver(**kw):
@@ -72,6 +73,17 @@ def test_export_streamfunction_and_vanilla(tmp_path):
     assert meta["evm"] is False
     out = np.asarray(load_predict(p2)(_pts(9)))
     np.testing.assert_array_equal(out[:, 3], np.zeros(9, np.float32))
+
+
+def test_export_residuals_matches_residuals_at(tmp_path):
+    solver = _solver()
+    path = str(tmp_path / "qc.hlo")
+    meta = export_residuals(solver, path, platforms=("cpu",))
+    assert meta["kind"] == "nsfnet_tpu.residuals"
+    pts = _pts(50, seed=3)
+    served = np.asarray(load_predict(path)(pts)).reshape(-1)
+    want = solver.residuals_at(pts[:, 0], pts[:, 1])
+    np.testing.assert_allclose(served, want, rtol=1e-5, atol=1e-7)
 
 
 def test_export_multiplatform_includes_tpu(tmp_path):
