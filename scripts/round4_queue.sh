@@ -60,18 +60,28 @@ run_slot() {
 }
 
 run_slot configs/re2000_6x80_full.yaml 14
+
+# Re=5000: round 3 settled the recipe — Reynolds continuation walked
+# GENTLY (constant lr 2e-6, dRe=100, one point draw: re5000_walk_gentle
+# cost ~0.16/rung where the first walk's lr-restart+RAR rungs cost ~1.8)
+# then a fixed-points h160 widen. Extend whichever state round 3 left
+# newest; both configs resume bit-exactly.
+WALK_BEST=$(find results_re5000_walk results_re5000_walk_polish artifacts/re5000_walk* \
+            -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
+            | sort -rn | head -1 | cut -d' ' -f2-)
+run_slot configs/re5000_walk_polish_h160.yaml 8 \
+    --init-from "${WALK_BEST:-artifacts/re5000_polish/best_state.ckpt}"
+
+# Re=4000: widen past the h80 11.6% floor with the SAME lessons (the
+# re4000_ev_polish_h160 config predates them — per-stage RAR resampling
+# measured as a +/-2% random walk at Re=5000; prefer a fixed-points
+# variant cloned from re5000_walk_polish_h160 with Re: 4000).
 run_slot configs/re4000_ev_polish_h160.yaml 8 \
     --init-from artifacts/re4000_gentle/final_state.ckpt
-# Re=5000: Reynolds continuation from the converged Re=4000 solution
-# (expected to beat polishing the 29% from-scratch state — the error
-# anatomy says that state's vortex core is wrong, not just under-resolved),
-# then widen h80->h160 from whatever the continuation produced.
-run_slot configs/re5000_cont_from_re4000.yaml 5 \
-    --init-from artifacts/re4000_gentle/final_state.ckpt
-CONT_BEST=$(find results_re5000_cont -name 'model_final.ckpt' -printf '%T@ %p\n' 2>/dev/null \
-            | sort -rn | head -1 | cut -d' ' -f2-)
-run_slot configs/re5000_ev_polish_h160.yaml 8 \
-    --init-from "${CONT_BEST:-artifacts/re5000_gentle/final_state.ckpt}"
+
+# Re=3000: the reference ships the DNS field but no config — completes
+# the published-DNS family (2000/3000/4000/5000).
+run_slot configs/re3000_ev_gentle.yaml 6
 
 # Streamfunction formulation at Re=2000 (round-3 feature): exact
 # continuity + stall-aware gentle anneal. Scientifically the most
