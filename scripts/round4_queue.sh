@@ -8,8 +8,9 @@
 #   2. Re=4000 widened continuation (h80->h160 warm start, RAR resampling,
 #      stall-aware; ~7 h for the full 720k budget) — pushes past the h80
 #      capacity floor at 11.6%.
-#   3. Re=5000 widened continuation (same recipe; start from the gentle
-#      run's final h80 state at 29.2%).
+#   3. Re=5000 widened continuation: resume the round-3 h160 widen from
+#      its deadline state (u 14.96%, still descending -0.07/25k — Q2 has
+#      40k epochs left, then Q3 at 1e-6).
 #
 # Each campaign runs under the hang-recovery watchdog; a wedged TPU worker
 # (seen 2026-08-17: kill -9 mid-dispatch wedged the axon worker for hours)
@@ -62,10 +63,13 @@ run_slot() {
 run_slot configs/re2000_6x80_full.yaml 14
 
 # Re=5000: round 3 settled the recipe — Reynolds continuation walked
-# GENTLY (constant lr 2e-6, dRe=100, one point draw: re5000_walk_gentle
-# cost ~0.16/rung where the first walk's lr-restart+RAR rungs cost ~1.8)
-# then a fixed-points h160 widen. Extend whichever state round 3 left
-# newest; both configs resume bit-exactly.
+# GENTLY (constant lr 2e-6, dRe=100, one point draw: +0.19/rung where
+# the first walk's lr-restart+RAR rungs cost up to +2.9) then a
+# fixed-points h160 widen, ending at u 14.96% still descending. The
+# watchdog resumes the widen bit-exactly from its newest checkpoint
+# (results_re5000_walk_polish has checkpoints, so the cold --init-from
+# below is ignored); if the Q3 end still hasn't flattened, clone the
+# config with extended stages or a second widen h160->h320.
 WALK_BEST=$(find results_re5000_walk results_re5000_walk_polish artifacts/re5000_walk* \
             -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
             | sort -rn | head -1 | cut -d' ' -f2-)
