@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--stall", type=float, default=0.005,
                     help="advance to next rung when the mean per-round gain "
                          "over the last 3 rounds drops below this (%%)")
+    ap.add_argument("--outdir", default="artifacts/ladder",
+                    help="checkpoint/trajectory output directory (separate "
+                         "per campaign: re4000/re5000 ladders must not "
+                         "overwrite each other's model_h{H}_r{N}.ckpt)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -76,6 +80,18 @@ def main():
     best = 0.5 * (res["u"] + res["v"])
     print(f"start h={cfg.network.hidden_size}: mean_uv={best:.4f}%",
           file=sys.stderr)
+    os.makedirs(args.outdir, exist_ok=True)
+    traj_path = os.path.join(args.outdir, "trajectory.csv")
+    if not os.path.exists(traj_path):
+        with open(traj_path, "w") as fh:
+            fh.write("hidden,round,u_err,v_err,mean_uv,best,elapsed_min\n")
+
+    def log_traj(hidden, rnd, res, mean_uv, best):
+        with open(traj_path, "a") as fh:
+            fh.write(f"{hidden},{rnd},{res['u']:.4f},{res['v']:.4f},"
+                     f"{mean_uv:.4f},{best:.4f},{(time.time()-t0)/60:.1f}\n")
+
+    log_traj(cfg.network.hidden_size, 0, res, best, best)
 
     rungs = [(int(h), int(r)) for h, r in
              (tok.split(":") for tok in args.rungs.split(","))]
@@ -113,8 +129,9 @@ def main():
             mean_uv = 0.5 * (res["u"] + res["v"])
             gains.append(best - mean_uv)
             best = min(best, mean_uv)
+            log_traj(hidden, r + 1, res, mean_uv, best)
             out = solver.save(f"model_h{hidden}_r{r+1}.ckpt",
-                              directory="artifacts/ladder")
+                              directory=args.outdir)
             print(f"h={hidden} round {r+1}: mean_uv={mean_uv:.4f}% "
                   f"(best {best:.4f}%) saved {out}", file=sys.stderr)
             if args.target and best < args.target:
