@@ -81,7 +81,8 @@ def _residual_fn(solver):
     return score
 
 
-def _export(solver, fn, path, platforms, kind, outputs) -> dict:
+def _export(solver, fn, path, platforms, kind, outputs,
+            extra_meta=None) -> dict:
     from jax import export as jexport
 
     (n,) = jexport.symbolic_shape("n")
@@ -100,18 +101,27 @@ def _export(solver, fn, path, platforms, kind, outputs) -> dict:
         "backbone": solver.backbone,
         "Re": float(solver.current_re),
         "evm": bool(solver.evm),
+        "alpha_evm": float(solver.alpha_evm),
+        "coord_scale": float(solver.coord_scale),
         "global_step": int(solver.global_step),
     }
+    if extra_meta:
+        meta.update(extra_meta)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)  # atomic, same contract as checkpoint writes
-    with open(path + SIDECAR_SUFFIX, "w") as f:
+    # sidecar atomically too: a crash mid-write must not leave a valid
+    # artifact next to a truncated/corrupt sidecar
+    tmp_sc = path + SIDECAR_SUFFIX + ".tmp"
+    with open(tmp_sc, "w") as f:
         json.dump(meta, f, indent=1)
+    os.replace(tmp_sc, path + SIDECAR_SUFFIX)
     return meta
 
 
-def export_predict(solver, path: str, platforms=("cpu", "tpu")) -> dict:
+def export_predict(solver, path: str, platforms=("cpu", "tpu"),
+                   extra_meta=None) -> dict:
     """Serialize the solver's prediction head to `path` (+ `.json` sidecar).
 
     `platforms` lists every backend the artifact must serve on; lowering
@@ -119,17 +129,22 @@ def export_predict(solver, path: str, platforms=("cpu", "tpu")) -> dict:
     Returns the sidecar metadata dict.
     """
     return _export(solver, _predict_fn(solver), path, platforms,
-                   kind="nsfnet_tpu.predict", outputs=["u", "v", "p", "e"])
+                   kind="nsfnet_tpu.predict", outputs=["u", "v", "p", "e"],
+                   extra_meta=extra_meta)
 
 
-def export_residuals(solver, path: str, platforms=("cpu", "tpu")) -> dict:
+def export_residuals(solver, path: str, platforms=("cpu", "tpu"),
+                     extra_meta=None) -> dict:
     """Serialize the physics-QC head — per-point PDE residual magnitude at
     arbitrary points — alongside the prediction artifact, so a serving
     deployment can bound the model's equation error on live query points
-    without any framework code."""
+    without any framework code. The baked vis_t cap uses the solver's
+    CURRENT alpha_evm — the CLI restores it from checkpoint metadata so an
+    alpha-annealed curriculum exports its final-stage physics."""
     return _export(solver, _residual_fn(solver), path, platforms,
                    kind="nsfnet_tpu.residuals",
-                   outputs=["sqrt(eq1^2+eq2^2+eq3^2)"])
+                   outputs=["sqrt(eq1^2+eq2^2+eq3^2)"],
+                   extra_meta=extra_meta)
 
 
 def load_predict(path: str):
@@ -164,6 +179,10 @@ def main(argv=None):
     p.add_argument("--residuals", action="store_true",
                    help="also export the physics-QC residual head "
                         "(<out>.residuals)")
+    p.add_argument("--alpha-evm", type=float, default=None,
+                   help="override the EVM alpha baked into the residual "
+                        "head (default: the checkpoint's training-time "
+                        "alpha from metadata, falling back to the config)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args(argv)
     if args.cpu:
@@ -175,20 +194,43 @@ def main(argv=None):
 
     cfg = ConfigManager.from_file(args.config).config
     solver = build_solver(cfg)
-    # restore template (collocation shapes size the vis_t carry)
+    # restore template (collocation shapes size the vis_t carry); mirror
+    # train.py's wiring exactly — in particular the coordinate transform,
+    # or a transform-trained checkpoint would export with coord_scale=1.0
+    # baked in (u,v off by the chain-rule factor in the psi head, residual
+    # derivative scaling wrong)
     data = CavityData(N_f=cfg.training.N_f,
                       sort_training_points=cfg.training.sort_training_points,
                       sdf_enabled=cfg.training.sdf_weighting.enabled,
+                      coord_transform=cfg.training.coordinate_transform,
                       seed=cfg.training.seed)
     solver.set_boundary_data(X=data.boundary_data())
     solver.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    solver.set_coordinate_transform(data.coord_scale)
     solver.load(args.ckpt)
+    # the residual head's vis_t cap depends on alpha_evm, which the driver
+    # normally sets per stage — restore the value the checkpoint actually
+    # trained at (load() deliberately leaves it to the caller)
+    from nsfnet_tpu.training import checkpoint as ckpt_io
+
+    ckpt_meta = ckpt_io.load_metadata(args.ckpt) or {}
+    if args.alpha_evm is not None:
+        solver.set_alpha_evm(args.alpha_evm)
+        alpha_src = "cli"
+    elif "alpha_evm" in ckpt_meta:
+        solver.set_alpha_evm(float(ckpt_meta["alpha_evm"]))
+        alpha_src = "checkpoint"
+    else:
+        alpha_src = "config"
     platforms = tuple(args.platforms.split(","))
-    meta = export_predict(solver, args.out, platforms=platforms)
+    extra = {"alpha_evm_source": alpha_src}
+    meta = export_predict(solver, args.out, platforms=platforms,
+                          extra_meta=extra)
     print(json.dumps(meta))
     if args.residuals:
         print(json.dumps(export_residuals(
-            solver, args.out + ".residuals", platforms=platforms)))
+            solver, args.out + ".residuals", platforms=platforms,
+            extra_meta=extra)))
     return 0
 
 

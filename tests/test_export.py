@@ -86,6 +86,68 @@ def test_export_residuals_matches_residuals_at(tmp_path):
     np.testing.assert_allclose(served, want, rtol=1e-5, atol=1e-7)
 
 
+def test_export_cli_coord_transform_and_alpha_roundtrip(tmp_path):
+    # The CLI must mirror train.py's wiring: a checkpoint trained with
+    # coordinate_transform enabled exports with coord_scale=2.0 (not the
+    # constructor default 1.0), and the residual head bakes the alpha_evm
+    # the checkpoint actually trained at (stage-annealed), not the
+    # config's stage-1 value.
+    from nsfnet_tpu.config import ConfigManager
+    from nsfnet_tpu.train import build_solver
+    from nsfnet_tpu.utils import export as export_mod
+
+    cfg_path = tmp_path / "ct.yaml"
+    cfg_path.write_text(
+        "experiment_name: ct_export\n"
+        "model_variant: ev-nsfnet\n"
+        "physics: {Re: 100, alpha_evm: 0.05, bc_weight: 10, eq_weight: 1}\n"
+        "network: {layers: 3, layers_1: 2, hidden_size: 24, hidden_size_1: 12}\n"
+        "training:\n"
+        "  N_f: 256\n"
+        "  coordinate_transform: true\n"
+        f"  checkpoint_dir: {tmp_path / 'results'}\n"
+    )
+    cfg = ConfigManager.from_file(str(cfg_path)).config
+    assert cfg.training.coordinate_transform is True
+
+    donor = build_solver(cfg)
+    data = CavityData(N_f=256, sort_training_points=False,
+                      coord_transform=True, seed=0)
+    donor.set_boundary_data(X=data.boundary_data())
+    donor.set_eq_training_data(X=data.training_data(), weights=data.sdf_weights)
+    donor.set_coordinate_transform(data.coord_scale)
+    assert donor.coord_scale == 2.0
+    donor.set_alpha_evm(0.007)  # a late-stage anneal value != config's 0.05
+    ckpt = donor.save("ct_donor.ckpt", directory=str(tmp_path))
+
+    out = str(tmp_path / "ct.hlo")
+    rc = export_mod.main(["--config", str(cfg_path), "--ckpt", ckpt,
+                          "--out", out, "--residuals", "--platforms", "cpu"])
+    assert rc == 0
+
+    side = json.load(open(out + ".json"))
+    assert side["coord_scale"] == 2.0
+    assert side["alpha_evm"] == pytest.approx(0.007)
+    assert side["alpha_evm_source"] == "checkpoint"
+
+    # the residual head is where both coord_scale (derivative chain rule)
+    # and alpha_evm (vis_t cap) change the served numbers
+    pts = _pts(40, seed=5)
+    served = np.asarray(load_predict(out + ".residuals")(pts)).reshape(-1)
+    want = donor.residuals_at(pts[:, 0], pts[:, 1])
+    np.testing.assert_allclose(served, want, rtol=1e-5, atol=1e-7)
+
+    # and a CLI --alpha-evm override wins over the checkpoint value
+    out2 = str(tmp_path / "ct2.hlo")
+    rc = export_mod.main(["--config", str(cfg_path), "--ckpt", ckpt,
+                          "--out", out2, "--alpha-evm", "0.05",
+                          "--platforms", "cpu"])
+    assert rc == 0
+    side2 = json.load(open(out2 + ".json"))
+    assert side2["alpha_evm"] == pytest.approx(0.05)
+    assert side2["alpha_evm_source"] == "cli"
+
+
 def test_export_multiplatform_includes_tpu(tmp_path):
     # tpu lowering must succeed WITHOUT tpu hardware present (that is the
     # point: export on the training host, serve anywhere)
