@@ -63,7 +63,19 @@ class TrainingStage:
     # lower-Re solution) or boundary-weight annealing never retraces.
     Re: float = 0.0
     bc_weight: float = 0.0
-    stall_min_epochs: int = 0  # never advance before this many epochs
+    # Never advance before this many epochs. -1 (default) derives a floor of
+    # epochs // 4 for advance_on_stall stages: the Re=5000 gentle campaign
+    # lost its S1/S2 budget to a loose detector (advanced at 90k/130k of
+    # 120k/200k and locked in the flow structure — VALIDATION.md postmortem),
+    # so an unset floor must not mean "no floor". Explicit 0 opts out.
+    stall_min_epochs: int = -1
+
+    def resolved_stall_min(self) -> int:
+        """The effective stall floor: explicit value, or epochs//4 when
+        advance_on_stall is set and the config left the floor unset."""
+        if self.stall_min_epochs >= 0:
+            return self.stall_min_epochs
+        return self.epochs // 4 if self.advance_on_stall else 0
 
 
 @dataclass
@@ -110,6 +122,13 @@ class TrainingConfig:
     # worst rar_top_frac x N_f points (fresh uniform fill for the rest).
     rar_pool_mult: int = 0
     rar_top_frac: float = 0.5
+    # When RAR fires: "first" (default) = only the FIRST per-stage redraw of
+    # the run (stage index 1), "every" = every redraw. Measured (VALIDATION.md
+    # Re=5000 continuation postmortem + scripts/rar_polish.py at Re=2000):
+    # RAR helps the first redraw after a warm start and costs ~+1.8 error
+    # points per stage thereafter — repeated residual-chasing redraws random-
+    # walk a converged solution. Later redraws fall back to plain uniform.
+    rar_schedule: str = "first"
     # stall detector for stages with advance_on_stall: relative equation-
     # loss improvement across `stall_window` consecutive log intervals
     # below `stall_threshold` -> advance to the next stage
@@ -215,7 +234,7 @@ class ConfigManager:
                         name=str(st.get("name", "Stage")),
                         optimizer=str(st.get("optimizer", "adam")),
                         advance_on_stall=bool(st.get("advance_on_stall", False)),
-                        stall_min_epochs=int(st.get("stall_min_epochs", 0)),
+                        stall_min_epochs=int(st.get("stall_min_epochs", -1)),
                         Re=float(st.get("Re", 0.0)),
                         bc_weight=float(st.get("bc_weight", 0.0)),
                     ))
@@ -266,6 +285,9 @@ class ConfigManager:
             if not c.training.resample_each_stage:
                 warnings.append("rar_pool_mult > 0 has no effect without "
                                 "resample_each_stage: true")
+        if c.training.rar_schedule not in ("first", "every"):
+            warnings.append(f"unknown rar_schedule "
+                            f"{c.training.rar_schedule!r} (first | every)")
         if c.training.max_chunk < 1:
             warnings.append("max_chunk must be >= 1 (steps per device "
                             "dispatch; 0 would spin the train loop forever)")

@@ -347,7 +347,14 @@ def main(argv=None):
                 # the current nets' PDE residual and keep the worst points
                 # (kept indices ride in checkpoint metadata, so mid-stage
                 # resume replays the set).
-                if cfg.training.rar_pool_mult > 0:
+                # rar_schedule "first": residual-aware only on the run's
+                # first redraw (stage index 1 — right after a warm start,
+                # where it measurably helps); later redraws are plain
+                # uniform (repeated RAR redraws random-walked a converged
+                # Re=5000 solution ~+1.8 err pts/stage — VALIDATION.md)
+                use_rar = cfg.training.rar_pool_mult > 0 and (
+                    cfg.training.rar_schedule == "every" or i == 1)
+                if use_rar:
                     X = data.rar_training_data(
                         solver.residuals_at,
                         pool_mult=cfg.training.rar_pool_mult,
@@ -367,7 +374,7 @@ def main(argv=None):
                             advance_on_stall=st.advance_on_stall,
                             stall_threshold=cfg.training.stall_threshold,
                             stall_window=cfg.training.stall_window,
-                            stall_min_epochs=st.stall_min_epochs,
+                            stall_min_epochs=st.resolved_stall_min(),
                             # per-stage physics overrides (0 = inherit) —
                             # runtime scalars, so a staged-Re continuation
                             # curriculum never retraces

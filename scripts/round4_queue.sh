@@ -70,9 +70,20 @@ run_slot configs/re2000_6x80_full.yaml 14
 # (results_re5000_walk_polish has checkpoints, so the cold --init-from
 # below is ignored); if the Q3 end still hasn't flattened, clone the
 # config with extended stages or a second widen h160->h320.
-WALK_BEST=$(find results_re5000_walk results_re5000_walk_polish artifacts/re5000_walk* \
-            -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
-            | sort -rn | head -1 | cut -d' ' -f2-)
+# Explicit preference order (NOT newest-mtime: on a fresh checkout mtimes
+# are checkout times, which could nondeterministically warm-start the h160
+# polish from the weaker h80 walk state): the polish slot's own scratch
+# checkpoints first (watchdog resume), then the curated widened state,
+# then the h80 walk best.
+WALK_BEST=""
+for cand in \
+    "$(find results_re5000_walk_polish -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
+        | sort -rn | head -1 | cut -d' ' -f2-)" \
+    artifacts/re5000_walk/best_state.ckpt \
+    artifacts/re5000_polish/best_state.ckpt \
+    artifacts/re5000_walk/best_h80_state.ckpt; do
+  if [ -n "$cand" ] && [ -f "$cand" ]; then WALK_BEST="$cand"; break; fi
+done
 run_slot configs/re5000_walk_polish_h160.yaml 8 \
     --init-from "${WALK_BEST:-artifacts/re5000_polish/best_state.ckpt}"
 

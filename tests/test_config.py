@@ -86,3 +86,37 @@ def test_stage_positivity_validated():
     probs = cm.validate()
     assert any("epochs must be > 0" in p for p in probs)
     assert any("lr must be > 0" in p for p in probs)
+
+
+def test_stall_floor_derives_by_default():
+    """advance_on_stall stages with no explicit stall_min_epochs get a
+    derived floor of epochs//4 (the Re=5000 S1/S2 postmortem: an unset
+    floor must not mean 'no floor'); explicit values — including an
+    explicit 0 opt-out — are respected, and non-stall stages resolve to 0."""
+    cm = ConfigManager.from_dict({"training": {"training_stages": [
+        {"alpha": 0.05, "epochs": 200000, "lr": 1e-3, "name": "derived",
+         "advance_on_stall": True},
+        {"alpha": 0.03, "epochs": 200000, "lr": 1e-4, "name": "explicit",
+         "advance_on_stall": True, "stall_min_epochs": 123},
+        {"alpha": 0.02, "epochs": 200000, "lr": 1e-4, "name": "optout",
+         "advance_on_stall": True, "stall_min_epochs": 0},
+        {"alpha": 0.01, "epochs": 200000, "lr": 1e-5, "name": "nostall"},
+    ]}})
+    stages = cm.config.training.training_stages
+    assert stages[0].resolved_stall_min() == 50000
+    assert stages[1].resolved_stall_min() == 123
+    assert stages[2].resolved_stall_min() == 0
+    assert stages[3].resolved_stall_min() == 0
+    assert cm.validate() == []
+
+
+def test_rar_schedule_validated():
+    cm = ConfigManager.from_dict({"training": {
+        "resample_each_stage": True, "rar_pool_mult": 2,
+        "rar_schedule": "sometimes"}})
+    assert any("rar_schedule" in p for p in cm.validate())
+    for ok in ("first", "every"):
+        cm = ConfigManager.from_dict({"training": {
+            "resample_each_stage": True, "rar_pool_mult": 2,
+            "rar_schedule": ok}})
+        assert cm.validate() == []

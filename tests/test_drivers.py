@@ -218,7 +218,10 @@ def test_resume_mid_stage_bit_exact_with_rar(tmp_path, monkeypatch):
     from nsfnet_tpu.train import main
 
     monkeypatch.chdir(tmp_path)
-    rar = "\n          rar_pool_mult: 2\n          rar_top_frac: 0.5"
+    # schedule 'every' so S3's redraw is also residual-scored — this test
+    # covers RAR replay at BOTH boundary kinds (resumed-stage + later stage)
+    rar = ("\n          rar_pool_mult: 2\n          rar_top_frac: 0.5"
+           "\n          rar_schedule: every")
     dir_a, dir_b = str(tmp_path / "rar_a"), str(tmp_path / "rar_b")
     cfg_a = _resume_config(tmp_path, "rar_a", dir_a, rar=rar)
     cfg_b = _resume_config(tmp_path, "rar_b", dir_b, rar=rar)
@@ -546,3 +549,34 @@ def test_driver_wires_stage_re_and_bc_overrides(tmp_path, monkeypatch):
     assert [s[:2] for s in seen] == [(100.0, None), (300.0, 20.0), (None, None)]
     # and the solver actually ran each stage at the override values
     assert [s[2:] for s in seen] == [(100.0, 10.0), (300.0, 20.0), (500.0, 10.0)]
+
+
+def test_rar_schedule_first_vs_every(tmp_path, monkeypatch):
+    """rar_schedule codifies the measured RAR finding (VALIDATION.md: RAR
+    helps the FIRST post-warm-start redraw and hurts thereafter): the
+    default 'first' scores only the stage-1 redraw (stages 2+ redraw
+    uniformly), 'every' scores all of them."""
+    from nsfnet_tpu.data.cavity import CavityData
+    from nsfnet_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    calls = []
+    orig = CavityData.rar_training_data
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(CavityData, "rar_training_data", spy)
+
+    rar = "\n          rar_pool_mult: 2\n          rar_top_frac: 0.5"
+    cfg = _resume_config(tmp_path, "sched_first", str(tmp_path / "rf"),
+                         rar=rar)  # 3 stages -> 2 redraws
+    assert main(_args(cfg)) == 0
+    assert len(calls) == 1, "default 'first' must RAR-score only stage 1"
+
+    calls.clear()
+    cfg2 = _resume_config(tmp_path, "sched_every", str(tmp_path / "re"),
+                          rar=rar + "\n          rar_schedule: every")
+    assert main(_args(cfg2)) == 0
+    assert len(calls) == 2, "'every' must RAR-score both redraws"

@@ -694,3 +694,19 @@ def test_stall_gain_criterion():
     osc_floor = [1.0, 0.5, 0.48, 0.52, 0.49, 0.72]
     g = stall_gain(osc_floor, 3)
     assert -0.05 < g < 0.05
+
+
+def test_stall_floor_blocks_early_advance():
+    """The stall detector must NEVER advance a stage before stall_min_epochs,
+    even when the eq-loss track reads as fully stalled from the first log
+    boundary (threshold so large every gain qualifies). Regression for the
+    Re=5000 gentle campaign's S1/S2 early-advance lock-in (VALIDATION.md):
+    floor 37 with log_interval 10 -> earliest legal advance is epoch 40."""
+    solver = _make_solver(log_interval=10)
+    _attach_data(solver, n_f=128)
+    solver.train(num_epoch=200, lr=1e-3, advance_on_stall=True,
+                 stall_threshold=1e9, stall_window=1, stall_min_epochs=37)
+    advanced_at = int(solver.state.epoch_in_stage)
+    assert advanced_at == 40, advanced_at   # not 20 or 30 (pre-floor)
+    # fast-forward contract: the stage still accounts its full budget
+    assert solver.global_step == 200
