@@ -166,23 +166,26 @@ def _layer_packed(p_in, w, b, t_dim, prec=None):
 
 # --------------------------------------------------------------------- fwd
 
-def _fwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
-    w_refs = refs[: 2 * (n_hidden + 1)]
-    o, ox, oy, oxx, oyy = refs[2 * (n_hidden + 1):]
-
-    x = x_ref[:]
+def _forward_streams(x, w_refs, n_hidden, t_dim, prec):
+    """Packed forward through the whole net -> the five [T,K] output
+    streams (value, d/dx, d/dy, d2/dx2, d2/dy2). Shared by the plain
+    forward kernel and the fused residual-loss kernel (pallas_residual.py)."""
     p, _, _, _ = _first_layer_packed(x, w_refs[0][:], w_refs[1][:], t_dim)
     for l in range(1, n_hidden):
         p, _, _ = _layer_packed(p, w_refs[2 * l][:], w_refs[2 * l + 1][:], t_dim,
                                 prec)
+    out_all = _dot(p, w_refs[-2][:], prec)  # [5T, K]
+    o = out_all[0:t_dim] + w_refs[-1][:]
+    return (o, out_all[t_dim:2 * t_dim], out_all[2 * t_dim:3 * t_dim],
+            out_all[3 * t_dim:4 * t_dim], out_all[4 * t_dim:5 * t_dim])
 
-    wh, bh = w_refs[-2][:], w_refs[-1][:]
-    out_all = _dot(p, wh, prec)  # [5T, K]
-    o[:] = out_all[0:t_dim] + bh
-    ox[:] = out_all[t_dim:2 * t_dim]
-    oy[:] = out_all[2 * t_dim:3 * t_dim]
-    oxx[:] = out_all[3 * t_dim:4 * t_dim]
-    oyy[:] = out_all[4 * t_dim:5 * t_dim]
+
+def _fwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
+    w_refs = refs[: 2 * (n_hidden + 1)]
+    o, ox, oy, oxx, oyy = refs[2 * (n_hidden + 1):]
+
+    vals = _forward_streams(x_ref[:], w_refs, n_hidden, t_dim, prec)
+    o[:], ox[:], oy[:], oxx[:], oyy[:] = vals
 
 
 def _flat_weights(params: Params):
@@ -225,28 +228,10 @@ def _fwd_pallas(params: Params, x: jax.Array, precision: str = "highest"):
 
 # --------------------------------------------------------------------- bwd
 
-def _bwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
-    """Recompute packed forward carries in VMEM, then one reverse sweep with
-    packed cotangents; dW/db accumulate into revisited output blocks
-    (constant index map, sequential grid)."""
-    n_w = 2 * (n_hidden + 1)
-    w_refs = refs[:n_w]
-    g_refs = refs[n_w:n_w + 5]
-    d_refs = refs[n_w + 5:]
-
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _zero():
-        for d in d_refs:
-            d[:] = jnp.zeros(d.shape, d.dtype)
-
-    x = x_ref[:]
-    w0 = w_refs[0][:]
-    wx, wy = w0[0:1, :], w0[1:2, :]
-
-    # ---- forward recompute, keeping packed carries and tangents
-    p0, t0, s0, c0 = _first_layer_packed(x, w0, w_refs[1][:], t_dim)
+def _recompute_forward(x, w_refs, n_hidden, t_dim, prec):
+    """Forward recompute keeping the packed carries/tangents the reverse
+    sweep needs. Returns (packs, ts, ztans, t0, s0, c0)."""
+    p0, t0, s0, c0 = _first_layer_packed(x, w_refs[0][:], w_refs[1][:], t_dim)
     packs = [p0]          # P_l: packed outputs of layer l, [5T,H]
     ts = [t0]             # post-activations
     ztans = [None]        # packed pre-activation tangents [4T,H], l>=1
@@ -256,12 +241,25 @@ def _bwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
         packs.append(p)
         ts.append(t)
         ztans.append(ztan)
+    return packs, ts, ztans, t0, s0, c0
+
+
+def _packed_reverse_sweep(x, w_refs, d_refs, fwd, g_head, t_dim, prec):
+    """Head -> first-layer reverse sweep on packed cotangents; dW/db
+    accumulate (+=) into d_refs (revisited blocks, sequential grid).
+    `fwd` is _recompute_forward's tuple; `g_head` the [5T,K] stacked
+    cotangents of the five output streams (head bias receives the value
+    stream's rows). Shared by the plain backward kernel and the fused
+    residual-loss backward (pallas_residual.py)."""
+    packs, ts, ztans, t0, s0, c0 = fwd
+    n_hidden = len(packs)
+    w0 = w_refs[0][:]
+    wx, wy = w0[0:1, :], w0[1:2, :]
 
     # ---- head backward (packed)
     wh = w_refs[-2][:]
-    g_head = jnp.concatenate([r[:] for r in g_refs], axis=0)  # [5T, K]
     d_refs[-2][:] += _dot_tn(packs[-1], g_head, prec)
-    d_refs[-1][:] += jnp.sum(g_refs[0][:], axis=0, keepdims=True)
+    d_refs[-1][:] += jnp.sum(g_head[0:t_dim], axis=0, keepdims=True)
     gp = _dot_nt(g_head, wh, prec)  # packed carry cotangents [5T, H]
 
     # ---- hidden transitions, reverse
@@ -310,6 +308,26 @@ def _bwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
                   axis=0, keepdims=True)
     d_refs[0][:] += jnp.concatenate([dwx, dwy], axis=0)
     d_refs[1][:] += jnp.sum(g_z0, axis=0, keepdims=True)
+
+
+def _bwd_kernel(n_hidden: int, t_dim: int, prec, x_ref, *refs):
+    """Recompute packed forward carries in VMEM, then one reverse sweep with
+    packed cotangents; dW/db accumulate into revisited output blocks
+    (constant index map, sequential grid)."""
+    n_w = 2 * (n_hidden + 1)
+    w_refs = refs[:n_w]
+    g_refs = refs[n_w:n_w + 5]
+    d_refs = refs[n_w + 5:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        for d in d_refs:
+            d[:] = jnp.zeros(d.shape, d.dtype)
+
+    x = x_ref[:]
+    fwd = _recompute_forward(x, w_refs, n_hidden, t_dim, prec)
+    g_head = jnp.concatenate([r[:] for r in g_refs], axis=0)  # [5T, K]
+    _packed_reverse_sweep(x, w_refs, d_refs, fwd, g_head, t_dim, prec)
 
 
 def _bwd_pallas(params: Params, x: jax.Array, cotangents,

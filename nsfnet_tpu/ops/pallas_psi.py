@@ -68,6 +68,36 @@ from nsfnet_tpu.ops.pallas_mlp import (
 N_STREAMS = 13  # h + 4 directions x 3 orders
 
 
+def fwd_tile_for_psi(n_hidden: int, hidden: int) -> int:
+    """Largest forward tile whose scoped-VMEM stack fits real Mosaic.
+
+    Unlike the order-2 kernel (5 streams, TILE=512 fits), the order-3
+    pack is 13 streams: at T=512/H<=128 the forward's live set (carried
+    pack + packed pre-activations + head outputs) measured 18.96 MB
+    against the v5e's 16 MB scoped-vmem limit (perf-matrix OOM,
+    logs/round4/gap.log). Estimate ~3 packed [13T,H] blocks live across
+    a layer transition plus the [13T,K] head block, with a 1.4x Mosaic
+    stack fudge, and pick the largest divisor of TILE under 10 MB."""
+    forced = _os.environ.get("NSFNET_PALLAS_PSI_FWD_TILE")
+    if forced:
+        t = int(forced)
+        if t < 8 or t % 8 != 0 or TILE % t != 0:
+            raise ValueError(
+                f"NSFNET_PALLAS_PSI_FWD_TILE={t}: must be a divisor of "
+                f"TILE={TILE} and a positive multiple of 8")
+        return t
+    budget = 10 * 1024 * 1024
+    hidden_padded = -(-hidden // 128) * 128
+    candidates = [t for t in (512, 256, 128, 64, 32, 16, 8)
+                  if t <= TILE and TILE % t == 0]
+    for t in candidates[:-1]:
+        live = int((3 * N_STREAMS * t * hidden_padded
+                    + N_STREAMS * t * 128) * 4 * 1.4)
+        if live <= budget:
+            return t
+    return candidates[-1]
+
+
 def bwd_tile_for_psi(n_hidden: int, hidden: int) -> int:
     """Largest backward tile whose resident set fits the VMEM budget —
     the third-order pack is 13 streams/layer (+12 tangent rows), ~2.6x
@@ -164,16 +194,18 @@ def _fwd_pallas(params: Params, x: jax.Array, precision: str):
     n, _ = x.shape
     k = params[-1][0].shape[1]
     assert n % TILE == 0, f"batch {n} must be padded to a multiple of {TILE}"
-    grid = (n // TILE,)
+    fwd_tile = fwd_tile_for_psi(n_hidden, params[0][0].shape[1])
+    grid = (n // fwd_tile,)
 
-    out_spec = pl.BlockSpec((TILE, k), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((fwd_tile, k), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n, k), jnp.float32)
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_hidden, TILE, _PRECISIONS[precision]),
+        functools.partial(_fwd_kernel, n_hidden, fwd_tile,
+                          _PRECISIONS[precision]),
         grid=grid,
-        in_specs=[pl.BlockSpec((TILE, 2), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((fwd_tile, 2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + _weight_specs(params),
         out_specs=(out_spec,) * N_STREAMS,

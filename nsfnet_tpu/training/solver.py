@@ -496,12 +496,41 @@ class PINNSolver:
             return make_fused_mlp_derivatives(self.matmul_precision)
         return mlp_derivatives_2d
 
+    def _fused_loss_enabled(self) -> bool:
+        env = os.environ.get("NSFNET_FUSED_LOSS")
+        if env is not None:
+            return env != "0"
+        if self.mesh.devices.flat[0].platform != "tpu":
+            return True  # interpret mode — covered by the CPU test suite
+        marker = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "artifacts", "fused_hw_ok.json")
+        return os.path.exists(marker)
+
     def _make_loss(self, engine_kind: str, axis_name: Optional[str]):
         # The EVM net runs through XLA's own fusion even on the pallas
         # engine: a fused Pallas value kernel for the tiny 4x40 net was
         # built and measured SLOWER (kernel dispatch overhead exceeds the
         # HBM round-trip it saves) — see VALIDATION.md "fused EVM forward".
         apply_evm = self.net_1.apply if self.evm else None
+        # Fully-fused equation loss: residual algebra + loss reduction run
+        # inside the Pallas kernel pair (ops/pallas_residual.py), removing
+        # the 5-stream [N,3] HBM round trips on both sides of the engine.
+        # Enable policy: NSFNET_FUSED_LOSS=0/1 forces it; otherwise on by
+        # default, except on REAL TPU hardware it additionally requires the
+        # Mosaic validation marker (artifacts/fused_hw_ok.json, written by
+        # scripts/fused_hw_check.py) so an unattended campaign never
+        # crash-loops on an unproven kernel lowering.
+        fused_eq_loss = None
+        if (engine_kind == "pallas" and self.backbone == "mlp"
+                and not self._generic_engine
+                and self.formulation == "velocity"
+                and self.loss_mode == "MSE"
+                and self._fused_loss_enabled()):
+            from nsfnet_tpu.ops.pallas_residual import make_fused_residual_loss
+
+            fused_eq_loss = make_fused_residual_loss(
+                self.matmul_precision, self.coord_scale, self.evm)
         return make_loss_fn(
             engine=self._engine(engine_kind),
             apply_main=self._uvp_apply(),
@@ -513,6 +542,7 @@ class PINNSolver:
             evm=self.evm,
             axis_name=axis_name,
             loss_mode=self.loss_mode,
+            fused_eq_loss=fused_eq_loss,
         )
 
     def _ensure_ready(self):

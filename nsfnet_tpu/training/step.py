@@ -61,6 +61,7 @@ def make_loss_fn(
     evm: bool = True,
     axis_name: Optional[str] = None,
     loss_mode: str = "MSE",
+    fused_eq_loss: Optional[Callable] = None,
 ):
     """Build the pure loss function. Static config is closed over; runtime
     scalars (lr/alpha_evm/Re/bc weight) are arguments so stages don't
@@ -74,10 +75,18 @@ def make_loss_fn(
     loss_mode: 'MSE' (default) or 'L2' — the reference v1's un-normalized
     L2-norm loss (NSFnet/pinn_solver.py:201-218). L2 is single-program only
     (like the reference's); the solver rejects L2 + sharding/microbatching.
+
+    fused_eq_loss: optional fused Pallas residual-loss engine
+    (ops/pallas_residual.make_fused_residual_loss) — replaces the
+    engine -> residual -> masked-sum chain for the equation component with
+    one kernel that returns the per-equation weighted sums of squares
+    directly (MSE mode only). The EVM net still runs through XLA; its
+    gradient flows via the kernel's g_e cotangent.
     """
     assert loss_mode in ("MSE", "L2")
     if loss_mode == "L2":
         assert axis_name is None, "L2 loss mode is not supported under shard_map"
+        assert fused_eq_loss is None, "fused_eq_loss is MSE-mode only"
 
     def eq_loss_fn(params_all, x_f, y_f, eq_w, n_f, vis_t_minus, sc: StageScalars):
         """Equation-residual part of the loss on a (micro)batch of
@@ -87,6 +96,26 @@ def make_loss_fn(
         re = sc.re
         vis_t0 = 20.0 / re  # ev-NSFnet/pinn_solver.py:67
         x_eq = jnp.concatenate([x_f, y_f], axis=1)
+
+        if fused_eq_loss is not None:
+            if evm:
+                e = apply_evm(params_evm, x_eq)[:, 0:1]
+                vis_t = R.next_vis_t(vis_t_minus, vis_t0)
+                sums = fused_eq_loss(params, x_eq, e, vis_t, eq_w, re)
+                l1, l2, l3, l4 = sums[0] / n_f, sums[1] / n_f, sums[2] / n_f, \
+                    sums[3] / n_f
+                new_vis_t_minus = R.update_vis_t_minus(e, sc.alpha_evm)
+                vis_t_mean = jnp.sum(vis_t * eq_w) / n_f
+                loss_e = l1 + l2 + l3 + entropy_weight * l4
+            else:
+                sums = fused_eq_loss(params, x_eq, eq_w, re)
+                l1, l2, l3 = sums[0] / n_f, sums[1] / n_f, sums[2] / n_f
+                l4 = jnp.zeros(())
+                new_vis_t_minus = vis_t_minus
+                vis_t_mean = jnp.zeros(())
+                loss_e = l1 + l2 + l3
+            return alpha_e * loss_e, (l1, l2, l3, l4, vis_t_mean,
+                                      new_vis_t_minus)
 
         derivs = engine(params, x_eq)
         if evm:

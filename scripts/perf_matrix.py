@@ -104,10 +104,16 @@ def main():
     rows = []
     flop_pt = model_flops_per_point()
     for prec in ("highest", "high", "default"):
-        pts = measure(build(n_f, matmul_precision=prec), n_f, steps)
+        solver = build(n_f, matmul_precision=prec)
+        # fused residual-loss kernel state (on-TPU it requires the
+        # fused_hw_ok.json marker; scripts/fused_hw_check.py measures the
+        # explicit fused-vs-stream A/B)
+        fused = solver._fused_loss_enabled()
+        pts = measure(solver, n_f, steps)
         model_tflops = pts * flop_pt / 1e12
         rows.append({
             "config": f"mlp/pallas {prec}",
+            "fused_loss": fused,
             "pts_per_s_per_chip": round(pts, 1),
             "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2),
             "model_tflops_per_s": round(model_tflops, 2),
@@ -126,21 +132,32 @@ def main():
     if on_tpu:
         sf_engines.append(("pallas", "sf/pallas"))
     for eng, label in sf_engines:
-        pts = measure(build(n_f, formulation="streamfunction", engine=eng,
-                            matmul_precision="high"), n_f, steps)
-        rows.append({"config": f"{label} high",
-                     "pts_per_s_per_chip": round(pts, 1),
-                     "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+        # one failing engine must not lose the rest of the matrix (the
+        # round-4 psi-kernel VMEM OOM crashed the whole run before the
+        # JSON write — logs/round4/gap.log)
+        try:
+            pts = measure(build(n_f, formulation="streamfunction", engine=eng,
+                                matmul_precision="high"), n_f, steps)
+            rows.append({"config": f"{label} high",
+                         "pts_per_s_per_chip": round(pts, 1),
+                         "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            rows.append({"config": f"{label} high",
+                         "error": f"{type(e).__name__}: {str(e)[:300]}"})
         print(json.dumps(rows[-1]), flush=True)
 
     # KAN backbone: generic jvp engine (no fused kernel yet); smaller N_f —
     # its activation footprint per point is much larger than the MLP's
-    kan = build(kan_n_f, backbone="kan", kan_width=(2, 16, 16, 8),
-                kan_grid=5, kan_k=3, evm=False, layers_1=None,
-                matmul_precision="high")
-    pts = measure(kan, kan_n_f, kan_steps)
-    rows.append({"config": "kan/generic high", "pts_per_s_per_chip":
-                 round(pts, 1), "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+    try:
+        kan = build(kan_n_f, backbone="kan", kan_width=(2, 16, 16, 8),
+                    kan_grid=5, kan_k=3, evm=False, layers_1=None,
+                    matmul_precision="high")
+        pts = measure(kan, kan_n_f, kan_steps)
+        rows.append({"config": "kan/generic high", "pts_per_s_per_chip":
+                     round(pts, 1), "vs_baseline": round(pts / REFERENCE_PTS_PER_SEC, 2)})
+    except Exception as e:  # noqa: BLE001
+        rows.append({"config": "kan/generic high",
+                     "error": f"{type(e).__name__}: {str(e)[:300]}"})
     print(json.dumps(rows[-1]), flush=True)
 
     os.makedirs("artifacts", exist_ok=True)
@@ -151,6 +168,10 @@ def main():
           file=sys.stderr)
     print("|---|---|---|---|---|", file=sys.stderr)
     for r in rows:
+        if "error" in r:
+            print(f"| {r['config']} | ERROR: {r['error']} | | | |",
+                  file=sys.stderr)
+            continue
         tf = r.get("model_tflops_per_s")
         mfu = r.get("mxu_util_pct")
         print(f"| {r['config']} | {r['pts_per_s_per_chip']:,.0f} | "

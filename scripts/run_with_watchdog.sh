@@ -27,6 +27,25 @@ print((cfg.get("training") or {}).get("checkpoint_dir", "results"))
 PY
 )
 touch "$LOG"
+# Cold-start override: when a better warm-start donor becomes available
+# AFTER a queue was launched (queue scripts can't be edited while bash is
+# executing them), drop its path into <results_dir>/cold_init_override —
+# it replaces the path following --init-from in the cold args. Ignored as
+# soon as the run has its own checkpoints (normal resume wins).
+OVERRIDE_FILE="$RESULTS_DIR/cold_init_override"
+if [ -f "$OVERRIDE_FILE" ]; then
+  OVERRIDE=$(head -1 "$OVERRIDE_FILE")
+  if [ -f "$OVERRIDE" ]; then
+    for i in "${!COLD_ARGS[@]}"; do
+      if [ "${COLD_ARGS[$i]}" = "--init-from" ]; then
+        COLD_ARGS[$((i+1))]="$OVERRIDE"
+        echo "[watchdog] cold-start override: --init-from $OVERRIDE" >> "$LOG"
+      fi
+    done
+  else
+    echo "[watchdog] cold_init_override points at missing file: $OVERRIDE (ignored)" >> "$LOG"
+  fi
+fi
 while true; do
   RESUME=()
   LATEST=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
