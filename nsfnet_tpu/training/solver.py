@@ -221,10 +221,15 @@ class PINNSolver:
                 self.engine = "xla"
             elif formulation == "streamfunction" \
                     and requested_engine != "pallas" \
-                    and self.engine == "pallas":
-                # auto never picks the third-order kernel (pallas_psi.py):
-                # it is interpret-validated but not yet measured on real
-                # Mosaic — opt in with engine="pallas" explicitly
+                    and self.engine == "pallas" \
+                    and not self._psi_kernel_validated():
+                # auto picks the third-order kernel (pallas_psi.py) only
+                # once it is hardware-validated: measured 3.44M pts/s vs
+                # the closed-form XLA engine's 2.13M on the v5e
+                # (artifacts/perf_matrix.json), but an unattended campaign
+                # must never gamble on an unproven Mosaic lowering — the
+                # numeric marker artifacts/psi_hw_ok.json is written by
+                # scripts/psi_hw_check.py. Opt in with engine="pallas".
                 self.engine = "xla"
         self.backbone = backbone
         params = self.net.init(k_main)
@@ -495,6 +500,20 @@ class PINNSolver:
 
             return make_fused_mlp_derivatives(self.matmul_precision)
         return mlp_derivatives_2d
+
+    def _psi_kernel_validated(self) -> bool:
+        """Marker gate for auto-selecting the fused order-3 psi kernel
+        (ops/pallas_psi.py) under formulation='streamfunction' — same
+        policy as the fused residual loss: hardware numeric validation
+        (scripts/psi_hw_check.py -> artifacts/psi_hw_ok.json) before any
+        unattended campaign runs on it. NSFNET_PALLAS_PSI=0/1 forces."""
+        env = os.environ.get("NSFNET_PALLAS_PSI")
+        if env is not None:
+            return env != "0"
+        marker = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "artifacts", "psi_hw_ok.json")
+        return os.path.exists(marker)
 
     def _fused_loss_enabled(self) -> bool:
         env = os.environ.get("NSFNET_FUSED_LOSS")

@@ -17,6 +17,20 @@ else
   timeout 1800 python scripts/fused_hw_check.py
   echo "[gap] $(date -u +%H:%M:%S) fused_hw_check rc=$?"
 fi
-echo "[gap] $(date -u +%H:%M:%S) perf_matrix"
-timeout 1500 python scripts/perf_matrix.py
-echo "[gap] $(date -u +%H:%M:%S) perf_matrix rc=$?"
+if [ -f artifacts/psi_hw_ok.json ] && \
+   python -c 'import json,sys; sys.exit(0 if json.load(open("artifacts/psi_hw_ok.json")).get("validated") else 1)'; then
+  echo "[gap] psi_hw_check already validated; skipping"
+else
+  echo "[gap] $(date -u +%H:%M:%S) psi_hw_check"
+  timeout 1500 python scripts/psi_hw_check.py
+  echo "[gap] $(date -u +%H:%M:%S) psi_hw_check rc=$?"
+fi
+# perf_matrix: skip when the committed matrix is fresh (<4 h) — one full
+# refresh per round is enough chip time
+if [ -n "$(find artifacts/perf_matrix.json -mmin -240 2>/dev/null)" ]; then
+  echo "[gap] perf_matrix fresh (<4 h); skipping"
+else
+  echo "[gap] $(date -u +%H:%M:%S) perf_matrix"
+  timeout 1500 python scripts/perf_matrix.py
+  echo "[gap] $(date -u +%H:%M:%S) perf_matrix rc=$?"
+fi
