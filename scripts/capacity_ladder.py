@@ -36,6 +36,12 @@ def main():
                     help="wall-clock budget in minutes")
     ap.add_argument("--nf", type=int, default=0, help="override training N_f")
     ap.add_argument("--micro", type=int, default=1, help="lm_microbatches")
+    ap.add_argument("--fixed-points", action="store_true",
+                    help="draw the collocation set ONCE and keep it for every "
+                         "LM round (no per-round redraw). Probes whether the "
+                         "redraw — not Gauss-Newton itself — is what "
+                         "random-walks at Re>=4000 (VALIDATION.md round-4 "
+                         "ladder postmortem).")
     ap.add_argument("--stall", type=float, default=0.005,
                     help="advance to next rung when the mean per-round gain "
                          "over the last 3 rounds drops below this (%%)")
@@ -71,7 +77,8 @@ def main():
     solver.lm_microbatches = max(1, args.micro)
     solver.attach_dataset(data)  # sampler state rides in ckpt metadata
     solver.set_boundary_data(X=data.boundary_data())
-    solver.set_eq_training_data(X=data.training_data())
+    X0 = data.training_data()  # setup draw; the only one in --fixed-points mode
+    solver.set_eq_training_data(X=X0)
     solver.load(args.ckpt)
     eval_fields = data.evaluate_data(cfg.eval_data)
     alpha = float(cfg.training.training_stages[-1].alpha)
@@ -109,7 +116,8 @@ def main():
             solver.matmul_precision = "highest"
             solver.lm_microbatches = max(1, args.micro)
             solver.set_boundary_data(X=data.boundary_data())
-            solver.set_eq_training_data(X=data.training_data())
+            solver.set_eq_training_data(
+                X=X0 if args.fixed_points else data.training_data())
             solver.state = solver.state._replace(params=wide,
                                                  params_evm=evm_params)
             solver.global_step = step0
@@ -123,7 +131,8 @@ def main():
             if time.time() > deadline:
                 print("wall-clock budget reached", file=sys.stderr)
                 break
-            solver.set_eq_training_data(X=data.training_data())
+            if not args.fixed_points:
+                solver.set_eq_training_data(X=data.training_data())
             solver.train(num_epoch=args.steps, lr=1.0, optimizer="lm")
             res = solver.evaluate(*eval_fields)
             mean_uv = 0.5 * (res["u"] + res["v"])
