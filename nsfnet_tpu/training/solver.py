@@ -1127,6 +1127,28 @@ class PINNSolver:
                 f"{meta.get('formulation', 'velocity')!r}-formulation "
                 f"solver; this solver is {self.formulation!r} (the heads "
                 f"predict different quantities)")
+        if meta:
+            # Architecture guard: flax.from_bytes restores the SERIALIZED
+            # leaves into the template pytree even when shapes differ (the
+            # tuples line up structurally), so an h160 checkpoint loaded
+            # into an h224 solver would silently run as an h160 net while
+            # every stamp (save metadata, widen donors, perf accounting)
+            # claims h224. Cross-width transfer is the driver's job
+            # (train.py --init-from, Net2Net widen) — load() is exact.
+            mine = {"backbone": self.backbone, "layers": self.layers,
+                    "hidden_size": self.hidden_size,
+                    "layers_1": self.layers_1,
+                    "hidden_size_1": self.hidden_size_1}
+            bad = {k: (meta[k], mine[k]) for k, v in mine.items()
+                   if k in meta and meta[k] != v}
+            if bad:
+                raise ValueError(
+                    f"checkpoint {path} architecture does not match this "
+                    f"solver: " + ", ".join(
+                        f"{k}={ck!r} (ckpt) vs {sv!r} (solver)"
+                        for k, (ck, sv) in sorted(bad.items())) +
+                    " — use train.py --init-from for cross-architecture "
+                    "warm starts (function-preserving Net2Net widen)")
         self.state = ckpt.restore_state(path, self.state)
         if meta:
             self.global_step = int(meta.get("global_step", self.global_step))

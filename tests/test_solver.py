@@ -529,6 +529,29 @@ def test_load_repads_foreign_vis_t(tmp_path):
     np.testing.assert_allclose(np.asarray(s2.state.vis_t_minus), rows)
 
 
+def test_load_rejects_cross_architecture_checkpoint(tmp_path):
+    """flax.from_bytes restores serialized leaves into a structurally
+    matching template even when SHAPES differ — an h24 checkpoint loaded
+    into an h32 solver would silently run as an h24 net while every stamp
+    claims h32. load() must reject; cross-width transfer goes through
+    train.py --init-from (Net2Net widen)."""
+    solver = _make_solver()
+    _attach_data(solver)
+    solver.train(num_epoch=2, lr=1e-3)
+    solver.save("arch.ckpt", directory=str(tmp_path))
+
+    wide = _make_solver(hidden_size=32)
+    _attach_data(wide)
+    with pytest.raises(ValueError, match="architecture"):
+        wide.load(str(tmp_path / "arch.ckpt"))
+
+    # exact-match load still works
+    twin = _make_solver()
+    _attach_data(twin)
+    twin.load(str(tmp_path / "arch.ckpt"))
+    assert twin.global_step == solver.global_step
+
+
 def test_residuals_at_matches_engine_and_chunking():
     """residuals_at == direct engine residual magnitude (EVM effective
     viscosity included), and is invariant to the dispatch chunk size
