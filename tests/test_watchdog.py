@@ -80,6 +80,43 @@ def test_watchdog_completes_and_cold_args_reach_trainer(tmp_path):
     assert "configuration error" in text, text[-1000:]
 
 
+def test_watchdog_cold_init_override(tmp_path):
+    """<results_dir>/cold_init_override redirects the --init-from path on a
+    cold start — the mechanism for swapping in a better warm-start donor
+    AFTER a queue was launched (bash can't re-read a script it is already
+    executing). The original cold arg here points at a missing file, so
+    the run can only complete if the override actually replaced it."""
+    import glob
+
+    env = _shim_env(tmp_path)
+    # run A: produce a real donor checkpoint
+    cfg_a = _config(tmp_path, epochs=40, name="wda")
+    r = subprocess.run(["bash", WATCHDOG, cfg_a, str(tmp_path / "a.log"), "600"],
+                       env=env, cwd=str(tmp_path), capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0
+    donors = glob.glob(f"{tmp_path}/results_wda/**/*.ckpt", recursive=True)
+    assert donors, "run A left no checkpoint"
+
+    # run B: cold --init-from points at a MISSING path; the override file
+    # in B's results dir redirects it to run A's real checkpoint
+    cfg_b = _config(tmp_path, epochs=40, name="wdb")
+    results_b = tmp_path / "results_wdb"
+    results_b.mkdir()
+    (results_b / "cold_init_override").write_text(donors[0] + "\n")
+    log_b = tmp_path / "b.log"
+    r = subprocess.run(
+        ["bash", WATCHDOG, str(cfg_b), str(log_b), "600",
+         "--init-from", f"{tmp_path}/no_such_donor.ckpt"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=300)
+    text = log_b.read_text()
+    assert r.returncode == 0, text[-2000:]
+    assert f"cold-start override: --init-from {donors[0]}" in text
+    assert "training completed" in text
+    assert "warm-start" in text  # the trainer actually loaded the donor
+
+
 def test_watchdog_deadline_stops_cleanly(tmp_path):
     """WATCHDOG_DEADLINE_TS in the near future: the watchdog kills a
     long trainer at the deadline and exits 0 (not a stale-restart loop)."""
