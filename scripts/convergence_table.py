@@ -3,7 +3,12 @@ write a convergence table (CSV + markdown) — the measured-at-fp32 version
 of the trajectory the training log reports at stage boundaries.
 
 Usage:
-    python scripts/convergence_table.py <config.yaml> <ckpt_glob> <out_csv> [--cpu]
+    python scripts/convergence_table.py <config.yaml> <ckpt_glob> <out_csv> \
+        [--cpu] [--append]
+
+--append: keep rows already in <out_csv> and evaluate only checkpoints whose
+path is not yet listed — the cheap way to poll a live campaign's results dir
+from the CPU while the chip trains.
 """
 
 import csv
@@ -14,7 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(config_path, ckpt_glob, out_csv, cpu=False):
+def main(config_path, ckpt_glob, out_csv, cpu=False, append=False):
     import jax
 
     if cpu:
@@ -36,6 +41,13 @@ def main(config_path, ckpt_glob, out_csv, cpu=False):
 
     paths = sorted(glob.glob(ckpt_glob, recursive=True))
     rows = []
+    if append and os.path.exists(out_csv):
+        with open(out_csv) as f:
+            rows = [dict(r) for r in csv.DictReader(f)]
+        for r in rows:
+            r["step"] = int(r["step"])
+        done = {r["ckpt"] for r in rows}
+        paths = [p for p in paths if p not in done]
     for path in paths:
         solver.load(path)
         e = solver.evaluate(*fields)
@@ -57,5 +69,6 @@ def main(config_path, ckpt_glob, out_csv, cpu=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--cpu"]
-    sys.exit(main(args[0], args[1], args[2], cpu="--cpu" in sys.argv))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(args[0], args[1], args[2], cpu="--cpu" in sys.argv,
+                  append="--append" in sys.argv))
