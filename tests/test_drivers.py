@@ -241,6 +241,79 @@ def test_resume_mid_stage_bit_exact_with_rar(tmp_path, monkeypatch):
                                           err_msg=name)
 
 
+def _stage_table_config(tmp_path, name, ckpt_dir, stages):
+    """Like _resume_config but with an explicit stage table — for tests
+    that edit the table between writer and resumer."""
+    mat = str(tmp_path / "dns.mat")
+    if not os.path.exists(mat):
+        _write_dns_mat(mat)
+    stage_lines = "\n".join(
+        f"            - {{alpha: {a}, epochs: {e}, lr: {lr}, name: {n}}}"
+        for (n, a, e, lr) in stages)
+    text = textwrap.dedent(f"""
+        experiment_name: resume_{name}
+        model_variant: ev-nsfnet
+        physics: {{Re: 100, alpha_evm: 0.03}}
+        network: {{layers: 2, layers_1: 2, hidden_size: 12, hidden_size_1: 8}}
+        eval_data: {mat}
+        training:
+          N_f: 128
+          seed: 5
+          log_interval: 1000
+          enable_tensorboard: false
+          sort_training_points: false
+          resample_each_stage: true
+          evm_update_freq: 10
+          checkpoint_freq: 25
+          checkpoint_dir: {ckpt_dir}
+          training_stages:
+{stage_lines}
+    """)
+    p = tmp_path / f"resume_{name}.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+def test_resume_into_extended_stage_bit_exact(tmp_path, monkeypatch):
+    """Campaign-steering contract: a mid-stage checkpoint written under one
+    stage table resumes bit-exactly into a config whose CURRENT stage was
+    lengthened and whose later stages were retuned — the live pattern for
+    extending a descending stage without restarting the campaign (e.g.
+    configs/re4000_ext2.yaml's X2 hold). Stage length must not leak into
+    per-step math before the edit point."""
+    import jax
+
+    from nsfnet_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    short = [("S1", 0.03, 25, "1.0e-3"), ("S2", 0.02, 50, "5.0e-4"),
+             ("S3", 0.01, 25, "1.0e-4")]
+    # S2 lengthened 50 -> 75, S3's lr retuned: total 125
+    ext = [("S1", 0.03, 25, "1.0e-3"), ("S2", 0.02, 75, "5.0e-4"),
+           ("S3", 0.01, 25, "2.0e-4")]
+    dir_w = str(tmp_path / "ext_writer")
+    dir_u = str(tmp_path / "ext_uninterrupted")
+    dir_r = str(tmp_path / "ext_resumed")
+    cfg_w = _stage_table_config(tmp_path, "ext_w", dir_w, short)
+    cfg_u = _stage_table_config(tmp_path, "ext_u", dir_u, ext)
+    cfg_r = _stage_table_config(tmp_path, "ext_r", dir_r, ext)
+
+    assert main(_args(cfg_w)) == 0  # writer: old table, ckpt at step 50 mid-S2
+    assert main(_args(cfg_u)) == 0  # uninterrupted run of the NEW table
+    mid = _ckpt_at_step(dir_w, 50)
+    assert main(_args(cfg_r, resume=mid)) == 0
+
+    state_u = _load_final_state(cfg_u, dir_u, 125)
+    state_r = _load_final_state(cfg_r, dir_r, 125)
+    for name in ("params", "params_evm", "vis_t_minus"):
+        lu = jax.tree_util.tree_leaves(getattr(state_u, name))
+        lr_ = jax.tree_util.tree_leaves(getattr(state_r, name))
+        assert len(lu) == len(lr_)
+        for a, b in zip(lu, lr_):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+
 def test_driver_wires_stall_advance(tmp_path, monkeypatch):
     """Config-level advance_on_stall reaches solver.train: an lr~0 stage
     with stall flags ends early (global_step still fast-forwards to the
