@@ -129,11 +129,20 @@ class TrainingConfig:
     # points per stage thereafter — repeated residual-chasing redraws random-
     # walk a converged solution. Later redraws fall back to plain uniform.
     rar_schedule: str = "first"
-    # stall detector for stages with advance_on_stall: relative equation-
-    # loss improvement across `stall_window` consecutive log intervals
+    # stall detector for stages with advance_on_stall: relative improvement
+    # of the stall metric across `stall_window` consecutive log intervals
     # below `stall_threshold` -> advance to the next stage
     stall_threshold: float = 0.02
     stall_window: int = 3
+    # What the detector tracks. "eq_loss" (default) = the equation loss at
+    # log boundaries; "eval_error" = mean u/v relative-L2 %% vs the attached
+    # DNS field (requires eval_data; falls back to eq_loss with a warning
+    # otherwise). Use eval_error for late-campaign polish stages: at the
+    # ~1e-6 loss plateau the eq-loss track is flat even while the field
+    # error descends linearly, so eq_loss false-fires there — the ext2 X2
+    # stage lost its 3e-6 bulk to a 0.24%% eq-loss gain while the error was
+    # dropping -0.12 pts/25k epochs (VALIDATION.md, round 4).
+    stall_metric: str = "eq_loss"
     # Gradient-pathology loss balancing (Wang/Teng/Perdikaris 2021; PAPERS.md
     # "Stabilized Adaptive Loss"): at every log boundary, re-weight the
     # boundary loss toward lambda_bc ~ ||grad L_eq|| / ||grad L_bc|| with an
@@ -296,6 +305,15 @@ class ConfigManager:
                             ">= 1 make the bc-weight EMA diverge")
         if c.training.stall_window < 1:
             warnings.append("stall_window must be >= 1 log intervals")
+        if c.training.stall_metric not in ("eq_loss", "eval_error"):
+            warnings.append(f"unknown stall_metric "
+                            f"{c.training.stall_metric!r} (eq_loss | "
+                            f"eval_error)")
+        if (c.training.stall_metric == "eval_error" and not c.eval_data
+                and any(st.advance_on_stall
+                        for st in c.training.training_stages)):
+            warnings.append("stall_metric='eval_error' needs eval_data — "
+                            "the detector will fall back to eq_loss")
         for i, st in enumerate(c.training.training_stages, 1):
             if st.optimizer not in ("adam", "lbfgs", "lm"):
                 warnings.append(f"unknown stage optimizer {st.optimizer!r}")

@@ -176,6 +176,7 @@ def main(argv=None):
     eval_fields = None
     if cfg.eval_data and os.path.exists(cfg.eval_data):
         eval_fields = data.evaluate_data(cfg.eval_data)
+        solver.attach_eval_data(eval_fields)
         logger.info(f"loaded DNS eval data: {cfg.eval_data} "
                     f"({eval_fields[0].shape[0]} points)")
     elif cfg.eval_data:
@@ -375,6 +376,7 @@ def main(argv=None):
                             stall_threshold=cfg.training.stall_threshold,
                             stall_window=cfg.training.stall_window,
                             stall_min_epochs=st.resolved_stall_min(),
+                            stall_metric=cfg.training.stall_metric,
                             # per-stage physics overrides (0 = inherit) —
                             # runtime scalars, so a staged-Re continuation
                             # curriculum never retraces

@@ -269,6 +269,7 @@ class PINNSolver:
         self._runner = None
         self._score_jit = None
         self._dirty = True
+        self._eval_fields = None  # DNS (x, y, u, v, p) for eval_error stall
 
         if net_params and net_params.endswith(".pth"):
             # reference-format torch state_dict(s): net_params is the main
@@ -664,7 +665,8 @@ class PINNSolver:
               Re: Optional[float] = None, bc_weight: Optional[float] = None,
               resume_in_stage: bool = False, advance_on_stall: bool = False,
               stall_threshold: float = 0.02, stall_window: int = 3,
-              stall_min_epochs: int = 0, **_compat):
+              stall_min_epochs: int = 0, stall_metric: str = "eq_loss",
+              **_compat):
         """One training stage: num_epoch full-batch steps at fixed lr
         (parity: ev-NSFnet/pinn_solver.py:430-487). Extensions:
         optimizer='lbfgs' runs the L-BFGS polish; Re / bc_weight override
@@ -701,7 +703,21 @@ class PINNSolver:
         last_log_t, last_log_e = stage_start, done
 
         pts_per_step = int(self._batch.x_f.shape[0] + self._batch.x_b.shape[0])
-        eq_track: list = []  # equation loss at log boundaries (stall detector)
+        # Stall track at log boundaries. 'eval_error' tracks the mean u/v
+        # DNS error (requires attach_eval_data) — at the late-campaign 1e-6
+        # loss plateau the eq-loss is flat while the error still descends
+        # linearly, so eq_loss false-fires there (ext2 X2 postmortem,
+        # VALIDATION.md); the error track sees the descent directly. One
+        # evaluate() per log interval is ~148k fp32 forward points —
+        # amortized noise next to log_interval full training steps.
+        use_eval_track = (advance_on_stall and stall_metric == "eval_error"
+                          and self._eval_fields is not None)
+        if (advance_on_stall and stall_metric == "eval_error"
+                and self._eval_fields is None and self.rank == 0):
+            self.logger.warning(
+                "stall_metric='eval_error' but no eval data attached "
+                "(attach_eval_data) — falling back to the eq-loss track")
+        eq_track: list = []  # stall-metric values at log boundaries
         last_ckpt: Optional[str] = None
         crashes = 0
         while done < num_epoch:
@@ -751,7 +767,11 @@ class PINNSolver:
                                 now - self.cumulative_start_time, lr)
                 last_log_t, last_log_e = now, done
                 if done > 1:  # epoch-1 loss is pre-descent; skip it
-                    eq_track.append(float(m.equation))
+                    if use_eval_track:
+                        errs = self.evaluate(*self._eval_fields, log=False)
+                        eq_track.append(0.5 * (errs["u"] + errs["v"]))
+                    else:
+                        eq_track.append(float(m.equation))
                 if self.adaptive_bc_weight and done < num_epoch:
                     sc = self._update_adaptive_bc(sc, lr)
             if (done == 1 and num_epoch >= self.checkpoint_freq) \
@@ -768,11 +788,14 @@ class PINNSolver:
                 gain = stall_gain(eq_track, stall_window)
                 if gain < stall_threshold:
                     if self.rank == 0:
+                        metric_name = ("u/v eval-error" if use_eval_track
+                                       else "eq-loss")
                         self.logger.info(
                             f"[{self.current_stage}] stalled at epoch {done}/"
-                            f"{num_epoch}: best eq-loss gain {gain * 100:.2f}% "
-                            f"over {stall_window} log intervals < "
-                            f"{stall_threshold * 100:.2f}% — advancing stage")
+                            f"{num_epoch}: best {metric_name} gain "
+                            f"{gain * 100:.2f}% over {stall_window} log "
+                            f"intervals < {stall_threshold * 100:.2f}% — "
+                            f"advancing stage")
                     # fast-forward the global step to the stage end so the
                     # driver's stage<->step mapping (and a watchdog resume
                     # from this checkpoint) land on the NEXT stage
@@ -988,7 +1011,7 @@ class PINNSolver:
             out[lo:hi] = np.asarray(s)[: hi - lo]
         return out
 
-    def evaluate(self, x, y, u, v, p):
+    def evaluate(self, x, y, u, v, p, log: bool = True):
         """Relative L2 % errors vs DNS (parity: ev-NSFnet/pinn_solver.py:669-693)."""
         u_pred, v_pred, p_pred, _ = self.neural_net_u(x, y)
         u_pred, v_pred, p_pred = (np.asarray(a).reshape(-1, 1)
@@ -1008,7 +1031,7 @@ class PINNSolver:
             "p_gauge": err(p_t[mask], p64[mask] + shift),
             "p_shift": shift,
         }
-        if self.rank == 0:
+        if self.rank == 0 and log:
             self.logger.info(
                 "Error u: %.3f %%  v: %.3f %%  p: %.3f %% "
                 "(gauge-corrected %.3f %%, shift %.4f)"
@@ -1053,6 +1076,18 @@ class PINNSolver:
         return errors
 
     # ---------------------------------------------------------- persistence
+
+    def attach_eval_data(self, fields) -> None:
+        """Register the DNS evaluation fields (x, y, u, v, p arrays) so the
+        stall detector can track the FIELD error instead of the equation
+        loss (stall_metric='eval_error'). At the late-campaign 1e-6 loss
+        plateau the eq-loss track is flat even while the DNS error descends
+        linearly — the ext2 X2 stage was false-stall-advanced on a 0.24%
+        eq-loss gain while the error was dropping -0.12 pts/25k epochs
+        (artifacts/re4000_ext2_trajectory.csv). Error is the quantity the
+        curriculum is actually driving; when attached, it is the honest
+        stall signal."""
+        self._eval_fields = fields
 
     def attach_dataset(self, dataset) -> None:
         """Register the collocation sampler (CavityData) so its draw state

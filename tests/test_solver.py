@@ -649,6 +649,56 @@ def test_stall_advance_ends_stage_early(tmp_path):
     assert int(solver2.state.epoch_in_stage) == 60
 
 
+def test_stall_eval_error_metric(tmp_path):
+    """stall_metric='eval_error' tracks the DNS field error, not the eq
+    loss. Regression for the ext2 X2 false-fire (VALIDATION.md round 4): at
+    lr=0 the eq-loss track is exactly flat — the eq_loss metric would
+    advance — but a descending scripted eval-error track must keep the
+    stage running; a flat eval-error track must advance."""
+
+    def scripted(values):
+        it = iter(values)
+
+        def fake_evaluate(x, y, u, v, p, log=True):
+            e = next(it)
+            return {"u": e, "v": e, "p": e, "p_gauge": e, "p_shift": 0.0}
+
+        return fake_evaluate
+
+    dummy_fields = tuple(np.zeros((4, 1), np.float32) for _ in range(5))
+
+    # descending error (-5%/interval): never stalls even though eq loss is
+    # exactly flat at lr=0 (the regression case)
+    solver = _make_solver(log_interval=10, checkpoint_path=str(tmp_path))
+    _attach_data(solver)
+    solver.attach_eval_data(dummy_fields)
+    solver.evaluate = scripted([10.0 * 0.95 ** k for k in range(50)])
+    solver.train(num_epoch=100, lr=0.0, advance_on_stall=True,
+                 stall_threshold=0.01, stall_window=2, stall_min_epochs=0,
+                 stall_metric="eval_error")
+    assert int(solver.state.epoch_in_stage) == 100
+
+    # flat error: advances early
+    solver = _make_solver(log_interval=10, checkpoint_path=str(tmp_path))
+    _attach_data(solver)
+    solver.attach_eval_data(dummy_fields)
+    solver.evaluate = scripted([10.0] * 200)
+    solver.train(num_epoch=1000, lr=0.0, advance_on_stall=True,
+                 stall_threshold=0.01, stall_window=2, stall_min_epochs=0,
+                 stall_metric="eval_error")
+    assert int(solver.state.epoch_in_stage) < 100
+    assert solver.global_step == 1000  # fast-forwarded to stage end
+
+    # eval_error without attached fields falls back to the eq-loss track
+    # (flat at lr=0 -> advances) instead of crashing
+    solver = _make_solver(log_interval=10, checkpoint_path=str(tmp_path))
+    _attach_data(solver)
+    solver.train(num_epoch=1000, lr=0.0, advance_on_stall=True,
+                 stall_threshold=0.01, stall_window=2, stall_min_epochs=0,
+                 stall_metric="eval_error")
+    assert int(solver.state.epoch_in_stage) < 100
+
+
 def test_adaptive_bc_weight_balances_and_checkpoints(tmp_path):
     """Gradient-pathology loss balancing: with adaptive_bc_weight on, the
     boundary weight moves from its static value toward the measured
