@@ -120,3 +120,22 @@ def test_rar_schedule_validated():
             "resample_each_stage": True, "rar_pool_mult": 2,
             "rar_schedule": ok}})
         assert cm.validate() == []
+
+
+def test_stall_metric_validated():
+    # unknown metric name warns
+    cm = ConfigManager.from_dict({"training": {"stall_metric": "loss_rate"}})
+    assert any("stall_metric" in p for p in cm.validate())
+    # eval_error without eval_data (and a stall-gated stage) warns: the
+    # detector would silently fall back to the eq-loss track
+    cm = ConfigManager.from_dict({"training": {
+        "stall_metric": "eval_error",
+        "training_stages": [
+            {"alpha": 0.05, "epochs": 10, "lr": 1e-3, "name": "S1",
+             "advance_on_stall": True}]}})
+    assert any("eval_data" in p for p in cm.validate())
+    # eval_error with eval_data is clean
+    cm = ConfigManager.from_dict({
+        "eval_data": "/tmp/dns.mat",
+        "training": {"stall_metric": "eval_error"}})
+    assert cm.validate() == []
