@@ -1320,7 +1320,10 @@ class PINNSolver:
         re_now = getattr(self, "current_re", self.Re)
         re_eff = 1.0 / (1.0 / re_now + float(m.vis_t_mean)) if self.evm else re_now
         throughput = interval_it_s * pts_per_step
-        eta = (num_epoch - done) / max(avg_it_s, 1e-9)
+        # interval rate, not the stage average: after a mid-stage resume
+        # `done` includes epochs restored from the checkpoint, which
+        # inflates the average and makes an avg-based eta absurdly short
+        eta = (num_epoch - done) / max(interval_it_s, 1e-9)
         width = 30
         filled = int(done / num_epoch * width)
         bar = "#" * filled + " " * (width - filled)
