@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Checkpoint guard: bound what a VM REBOOT can erase.
+#
+# Gitignored scratch dirs (results_*) do not survive a host reboot — the
+# workspace is re-checked-out from git. The 2026-08-20 01:57 reboot erased
+# results_re4000_ext/ with the Re=4000 campaign at u 6.998% (step 1.525M);
+# the newest committed state was 9.26%, costing ~6 h of descent. This loop
+# makes the committed state track the live one:
+#   every INTERVAL seconds
+#     1. copy the newest *.ckpt (+ sidecar) from RESULTS_DIR to GUARD_DIR
+#        (stable name latest.ckpt, tmp+rename so a reboot mid-copy can't
+#        leave a torn file)
+#     2. append new checkpoints' DNS errors to TRAJ_CSV on the CPU
+#        (convergence_table --cpu --append; never touches the chip)
+#     3. git add + commit both (retries next cycle on index-lock contention)
+#
+# Usage: scripts/ckpt_guard.sh <config.yaml> <results_dir> <guard_dir> \
+#            <traj_csv> [interval_secs=1800]
+set -u
+CONFIG="$1"; RESULTS_DIR="$2"; GUARD_DIR="$3"; TRAJ="$4"
+INTERVAL="${5:-1800}"
+cd "$(dirname "$0")/.."
+mkdir -p "$GUARD_DIR" logs
+GLOG="logs/ckpt_guard_$(basename "$RESULTS_DIR").log"
+LAST_COMMITTED=""
+while true; do
+  sleep "$INTERVAL"
+  LATEST=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
+           | sort -rn | head -1 | cut -d' ' -f2-)
+  if [ -z "$LATEST" ] || [ "$LATEST" = "$LAST_COMMITTED" ]; then
+    continue
+  fi
+  # skip a checkpoint modified in the last 30 s (may still be renaming the
+  # sidecar pair into place)
+  AGE=$(( $(date +%s) - $(stat -c %Y "$LATEST") ))
+  [ "$AGE" -lt 30 ] && continue
+  cp "$LATEST" "$GUARD_DIR/latest.ckpt.tmp" \
+    && mv "$GUARD_DIR/latest.ckpt.tmp" "$GUARD_DIR/latest.ckpt"
+  if [ -f "$LATEST.json" ]; then
+    cp "$LATEST.json" "$GUARD_DIR/latest.ckpt.json.tmp" \
+      && mv "$GUARD_DIR/latest.ckpt.json.tmp" "$GUARD_DIR/latest.ckpt.json"
+  fi
+  timeout 1200 python scripts/convergence_table.py "$CONFIG" \
+      "$RESULTS_DIR/**/*.ckpt" "$TRAJ" --cpu --append \
+      >> "$GLOG" 2>&1
+  STEP=$(tail -1 "$TRAJ" 2>/dev/null | cut -d, -f1)
+  ERR=$(tail -1 "$TRAJ" 2>/dev/null | cut -d, -f3)
+  git add "$GUARD_DIR" "$TRAJ" >> "$GLOG" 2>&1 \
+    && git commit -m "ckpt guard: $(basename "$RESULTS_DIR") step ${STEP:-?} u ${ERR:-?}%" \
+         >> "$GLOG" 2>&1 \
+    && LAST_COMMITTED="$LATEST"
+done
