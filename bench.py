@@ -112,7 +112,62 @@ def _device_healthy(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def _pause_live_trainers(timeout_s: float = 240.0):
+    """Never measure while a trainer holds the chip (30%+ distortion —
+    CLAUDE.md / the verify recipe). run_with_watchdog.sh registers its live
+    trainer PID under .run/<config>.pid and waits on .run/pause before any
+    relaunch: touch the flag, SIGTERM the registered trainers (graceful
+    checkpoint + exit), measure, then let the watchdog resume the campaign.
+    Returns a cleanup callable that removes the flag."""
+    import glob as _glob
+    import signal
+
+    run_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".run")
+    flag = os.path.join(run_dir, "pause")
+
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except OSError:
+            return False
+
+    pids = []
+    for pf in _glob.glob(os.path.join(run_dir, "*.pid")):
+        try:
+            pid = int(open(pf).read().strip())
+        except (ValueError, OSError):
+            continue
+        if _alive(pid):
+            pids.append(pid)
+    if not pids:
+        return lambda: None
+    os.makedirs(run_dir, exist_ok=True)
+    open(flag, "w").close()
+    for pid in pids:
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    print(f"bench: paused {len(pids)} live trainer(s), waiting for "
+          f"graceful checkpoint+exit", file=sys.stderr)
+    deadline = time.time() + timeout_s
+    while time.time() < deadline and any(_alive(p) for p in pids):
+        time.sleep(5)
+    # a trainer that ignored SIGTERM is mid-hung-dispatch; the device
+    # probe below will catch a wedged chip either way
+
+    def _cleanup():
+        try:
+            os.remove(flag)
+        except OSError:
+            pass
+
+    return _cleanup
+
+
 if __name__ == "__main__":
+    _resume_trainers = _pause_live_trainers()
     if not _device_healthy():
         print(json.dumps({
             "metric": "collocation_points_per_sec_per_chip_re2000",
@@ -121,5 +176,10 @@ if __name__ == "__main__":
             "vs_baseline": 0.0,
             "error": "accelerator unavailable (device probe hung/failed)",
         }))
+        _resume_trainers()
         sys.exit(1)
-    sys.exit(main())
+    try:
+        rc = main()
+    finally:
+        _resume_trainers()
+    sys.exit(rc)

@@ -27,6 +27,15 @@ print((cfg.get("training") or {}).get("checkpoint_dir", "results"))
 PY
 )
 touch "$LOG"
+# Bench cooperation: bench.py must never measure while a trainer holds the
+# chip (30%+ distortion). The watchdog registers the live trainer PID under
+# .run/<config>.pid; bench touches .run/pause, SIGTERMs the registered PIDs
+# (graceful checkpoint + exit), measures, then removes the flag — the loop
+# below waits for the flag to clear before relaunching.
+RUN_REG=".run/$(basename "$CONFIG" .yaml).pid"
+PAUSE_FLAG=".run/pause"
+mkdir -p .run
+trap 'rm -f "$RUN_REG"' EXIT
 # Cold-start override: when a better warm-start donor becomes available
 # AFTER a queue was launched (queue scripts can't be edited while bash is
 # executing them), drop its path into <results_dir>/cold_init_override —
@@ -47,6 +56,13 @@ if [ -f "$OVERRIDE_FILE" ]; then
   fi
 fi
 while true; do
+  while [ -f "$PAUSE_FLAG" ]; do
+    if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+      echo "[watchdog] deadline reached while paused - exiting" >> "$LOG"
+      exit 0
+    fi
+    sleep 15
+  done
   RESUME=()
   LATEST=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
            | sort -rn | head -1 | cut -d' ' -f2-)
@@ -59,6 +75,7 @@ while true; do
   python -u -m nsfnet_tpu.train --config "$CONFIG" "${RESUME[@]}" >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > "$LOG.pid"  # current trainer PID (kill by PID, never by pattern)
+  echo "$PID" > "$RUN_REG"
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
