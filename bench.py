@@ -112,7 +112,7 @@ def _device_healthy(timeout_s: float = 180.0) -> bool:
         return False
 
 
-def _pause_live_trainers(timeout_s: float = 240.0):
+def _pause_live_trainers(timeout_s: float = 240.0, run_dir: str = None):
     """Never measure while a trainer holds the chip (30%+ distortion —
     CLAUDE.md / the verify recipe). run_with_watchdog.sh registers its live
     trainer PID under .run/<config>.pid and waits on .run/pause before any
@@ -122,15 +122,22 @@ def _pause_live_trainers(timeout_s: float = 240.0):
     import glob as _glob
     import signal
 
-    run_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".run")
+    if run_dir is None:
+        run_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".run")
     flag = os.path.join(run_dir, "pause")
 
     def _alive(pid: int) -> bool:
         try:
             os.kill(pid, 0)
-            return True
         except OSError:
             return False
+        # a SIGTERMed trainer is a zombie until its watchdog reaps it —
+        # it no longer holds the chip, so don't wait on it
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().rsplit(")", 1)[1].split()[0] != "Z"
+        except (OSError, IndexError):
+            return True
 
     pids = []
     for pf in _glob.glob(os.path.join(run_dir, "*.pid")):

@@ -653,3 +653,48 @@ def test_rar_schedule_first_vs_every(tmp_path, monkeypatch):
                           rar=rar + "\n          rar_schedule: every")
     assert main(_args(cfg2)) == 0
     assert len(calls) == 2, "'every' must RAR-score both redraws"
+
+
+def test_bench_pause_protocol(tmp_path):
+    """bench.py must never measure while a trainer holds the chip: it TERMs
+    the PIDs registered under .run/ (run_with_watchdog.sh), leaves the pause
+    flag up while measuring, and removes it on cleanup so the watchdog
+    relaunches. Dead/garbage pidfiles are ignored (no flag, no-op cleanup).
+    Drilled live against a real campaign 2026-08-20 (VALIDATION.md)."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, repo)
+    from bench import _pause_live_trainers
+
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    flag = run_dir / "pause"
+
+    # no pidfiles -> no flag raised
+    cleanup = _pause_live_trainers(timeout_s=1, run_dir=str(run_dir))
+    assert not flag.exists()
+    cleanup()
+
+    # dead pid + garbage pidfile -> ignored, still no flag
+    (run_dir / "stale.pid").write_text("999999999")
+    (run_dir / "junk.pid").write_text("not-a-pid")
+    cleanup = _pause_live_trainers(timeout_s=1, run_dir=str(run_dir))
+    assert not flag.exists()
+    cleanup()
+
+    # a live registered process gets SIGTERM and is waited on; the flag
+    # stays up for the measurement window and cleanup removes it
+    proc = subprocess.Popen([_sys.executable, "-c",
+                             "import time; time.sleep(300)"])
+    (run_dir / "campaign.pid").write_text(str(proc.pid))
+    t0 = _time.time()
+    cleanup = _pause_live_trainers(timeout_s=30, run_dir=str(run_dir))
+    assert flag.exists(), "flag must hold off watchdog relaunch during bench"
+    assert proc.wait(timeout=10) == -signal.SIGTERM
+    assert _time.time() - t0 < 25, "must return as soon as the trainer exits"
+    cleanup()
+    assert not flag.exists(), "cleanup must let the watchdog resume"
