@@ -24,16 +24,20 @@ mkdir -p "$GUARD_DIR" logs
 GLOG="logs/ckpt_guard_$(basename "$RESULTS_DIR").log"
 LAST_COMMITTED=""
 while true; do
-  sleep "$INTERVAL"
-  LATEST=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
-           | sort -rn | head -1 | cut -d' ' -f2-)
+  # a checkpoint modified in the last 30 s may still be renaming its
+  # sidecar pair into place — wait it out and re-find rather than skip the
+  # whole cycle (the first live cycle lost 30 min to a skip here)
+  for _ in 1 2; do
+    LATEST=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
+             | sort -rn | head -1 | cut -d' ' -f2-)
+    [ -z "$LATEST" ] && break
+    AGE=$(( $(date +%s) - $(stat -c %Y "$LATEST") ))
+    [ "$AGE" -ge 30 ] && break
+    sleep 35
+  done
   if [ -z "$LATEST" ] || [ "$LATEST" = "$LAST_COMMITTED" ]; then
-    continue
+    sleep "$INTERVAL"; continue
   fi
-  # skip a checkpoint modified in the last 30 s (may still be renaming the
-  # sidecar pair into place)
-  AGE=$(( $(date +%s) - $(stat -c %Y "$LATEST") ))
-  [ "$AGE" -lt 30 ] && continue
   cp "$LATEST" "$GUARD_DIR/latest.ckpt.tmp" \
     && mv "$GUARD_DIR/latest.ckpt.tmp" "$GUARD_DIR/latest.ckpt"
   if [ -f "$LATEST.json" ]; then
@@ -49,4 +53,5 @@ while true; do
     && git commit -m "ckpt guard: $(basename "$RESULTS_DIR") step ${STEP:-?} u ${ERR:-?}%" \
          >> "$GLOG" 2>&1 \
     && LAST_COMMITTED="$LATEST"
+  sleep "$INTERVAL"
 done
