@@ -22,6 +22,27 @@ INTERVAL="${5:-1800}"
 cd "$(dirname "$0")/.."
 mkdir -p "$GUARD_DIR" logs
 GLOG="logs/ckpt_guard_$(basename "$RESULTS_DIR").log"
+# Restart detection: convergence_table --append dedups by checkpoint PATH,
+# and a campaign restarted into the same results dir (reboot + --init-from)
+# reuses the same loop<N>.ckpt paths with a reset step counter — the CSV
+# would freeze at the previous segment's rows and the commit messages would
+# report stale metrics (seen live 2026-08-20: guard said "step 100000
+# u 8.826%" forever while the replay descended). If the CSV's newest row
+# points at a checkpoint that no longer exists, rotate the CSV to a _segN
+# sibling and start fresh; segment step counters overlap (each restart
+# resets to 0 at its warm-start state), so readers stitch segments in
+# rotation order.
+if [ -f "$TRAJ" ]; then
+  NEWEST_ROW_CKPT=$(tail -1 "$TRAJ" | cut -d, -f2)
+  if [ -n "$NEWEST_ROW_CKPT" ] && [ "$NEWEST_ROW_CKPT" != "ckpt" ] \
+     && [ ! -f "$NEWEST_ROW_CKPT" ]; then
+    N=1
+    while [ -f "${TRAJ%.csv}_seg${N}.csv" ]; do N=$((N+1)); done
+    mv "$TRAJ" "${TRAJ%.csv}_seg${N}.csv"
+    git add "${TRAJ%.csv}_seg${N}.csv" >> "$GLOG" 2>&1 || true
+    echo "[guard] rotated stale $TRAJ -> seg${N} (campaign restarted)" >> "$GLOG"
+  fi
+fi
 LAST_COMMITTED=""
 while true; do
   # a checkpoint modified in the last 30 s may still be renaming its
