@@ -131,14 +131,29 @@ class CavityData:
         if "native" in s:
             here = bool(self.use_native and native.available())
             if here != bool(s["native"]):
-                raise RuntimeError(
-                    f"sampler state was recorded on the "
-                    f"{'native' if s['native'] else 'numpy'} sampling path "
-                    f"but this host would use the "
-                    f"{'native' if here else 'numpy'} path — the replayed "
-                    "points would differ from the checkpointed vis_t "
-                    "carry. Build native/ (make -C native) or set "
-                    "use_native to match the writer.")
+                if not s["native"]:
+                    # Writer drew on the numpy path (e.g. libpointgen.so was
+                    # not built when the campaign started — gitignored .so
+                    # files do not survive a reboot). Numpy is always
+                    # available, so honor the writer's path instead of
+                    # refusing: an unattended watchdog resume must not
+                    # crash-loop because the host later (re)built native/.
+                    import logging
+
+                    logging.getLogger("nsfnet").warning(
+                        "sampler state was recorded on the numpy sampling "
+                        "path; forcing use_native=False for this dataset so "
+                        "the replayed points match the checkpointed vis_t "
+                        "carry (native/libpointgen.so is built but will not "
+                        "be used for this stream).")
+                    self.use_native = False
+                else:
+                    raise RuntimeError(
+                        "sampler state was recorded on the native sampling "
+                        "path but native/libpointgen.so is unavailable on "
+                        "this host — the numpy path would draw different "
+                        "points than the checkpointed vis_t carry. Build "
+                        "native/ (make -C native) before resuming.")
         self._draws = int(s["draws_next"])
         self._native_seed = int(s["native_seed"])
         if s.get("rng_state") is not None:

@@ -157,6 +157,53 @@ def test_sampler_state_roundtrip_replays_draw_sequence():
         np.testing.assert_array_equal(y3, y3b)
 
 
+def test_sampler_state_numpy_stream_replays_on_native_host():
+    # Regression: a campaign started before native/ was built records
+    # native=False in its sampler state; after a reboot the watchdog host
+    # rebuilds libpointgen.so and resumes. set_state must force the dataset
+    # back onto the numpy path (replaying the identical stream) instead of
+    # raising — the hard error crash-looped an unattended Re=4000 campaign
+    # for ~1.3 h on 2026-08-20.
+    import json
+
+    writer = CavityData(N_f=96, sort_training_points=False, seed=7,
+                        use_native=False)
+    writer.boundary_data()
+    x1, y1 = writer.training_data()
+    state = json.loads(json.dumps(writer.get_state()))
+    assert state["native"] is False
+    x2, y2 = writer.training_data()
+
+    reader = CavityData(N_f=96, sort_training_points=False, seed=None,
+                        use_native=True)  # host WOULD use native if built
+    reader.boundary_data()
+    reader.set_state(state)               # must not raise
+    assert reader.use_native is False     # honors the writer's path
+    x1b, y1b = reader.training_data()
+    x2b, y2b = reader.training_data()
+    np.testing.assert_array_equal(x1, x1b)
+    np.testing.assert_array_equal(y1, y1b)
+    np.testing.assert_array_equal(x2, x2b)
+    np.testing.assert_array_equal(y2, y2b)
+
+    # The reverse direction (recorded native, native unavailable) stays a
+    # hard error — numpy cannot replicate the native stream.
+    from nsfnet_tpu.data import native as native_mod
+    if native_mod.available():
+        w2 = CavityData(N_f=96, sort_training_points=False, seed=7,
+                        use_native=True)
+        w2.boundary_data()
+        w2.training_data()
+        s2 = json.loads(json.dumps(w2.get_state()))
+        assert s2["native"] is True
+        r2 = CavityData(N_f=96, sort_training_points=False, seed=None,
+                        use_native=False)
+        r2.boundary_data()
+        import pytest
+        with pytest.raises(RuntimeError, match="native sampling path"):
+            r2.set_state(s2)
+
+
 def _twin_pool(seed, N_f, pool_mult, use_native):
     """Reconstruct the candidate pool a fresh loader's first RAR draw sees:
     raw draws are keyed only on (seed, draw counter), so a twin loader's
