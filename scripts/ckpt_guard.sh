@@ -32,15 +32,41 @@ GLOG="logs/ckpt_guard_$(basename "$RESULTS_DIR").log"
 # sibling and start fresh; segment step counters overlap (each restart
 # resets to 0 at its warm-start state), so readers stitch segments in
 # rotation order.
+# A missing row-checkpoint alone is NOT proof of a restart (ADVICE r4:
+# pruning a sigterm_step*.ckpt recorded in the CSV, then restarting the
+# guard, would spuriously rotate a live trajectory). Require the step
+# counter to actually have gone BACKWARDS: rotate only if the results dir
+# holds no checkpoint at all (fresh boot) or its newest checkpoint's step
+# is below the CSV's last recorded step.
 if [ -f "$TRAJ" ]; then
   NEWEST_ROW_CKPT=$(tail -1 "$TRAJ" | cut -d, -f2)
+  CSV_STEP=$(tail -1 "$TRAJ" | cut -d, -f1)
   if [ -n "$NEWEST_ROW_CKPT" ] && [ "$NEWEST_ROW_CKPT" != "ckpt" ] \
      && [ ! -f "$NEWEST_ROW_CKPT" ]; then
-    N=1
-    while [ -f "${TRAJ%.csv}_seg${N}.csv" ]; do N=$((N+1)); done
-    mv "$TRAJ" "${TRAJ%.csv}_seg${N}.csv"
-    git add "${TRAJ%.csv}_seg${N}.csv" >> "$GLOG" 2>&1 || true
-    echo "[guard] rotated stale $TRAJ -> seg${N} (campaign restarted)" >> "$GLOG"
+    NEWEST_DIR_CKPT=$(find "$RESULTS_DIR" -name '*.ckpt' -printf '%T@ %p\n' 2>/dev/null \
+                      | sort -rn | head -1 | cut -d' ' -f2-)
+    DIR_STEP=-1
+    if [ -n "$NEWEST_DIR_CKPT" ]; then
+      DIR_STEP=$(python - "$NEWEST_DIR_CKPT" <<'STEP'
+import json, re, sys
+p = sys.argv[1]
+try:
+    print(int(json.load(open(p + ".json")).get("global_step", -1)))
+except Exception:
+    m = re.search(r"loop(\d+)\.ckpt$", p)
+    print(int(m.group(1)) if m else -1)
+STEP
+)
+    fi
+    if [ "$DIR_STEP" -ge "${CSV_STEP:-0}" ] 2>/dev/null; then
+      echo "[guard] row ckpt pruned but dir step $DIR_STEP >= CSV step $CSV_STEP — same segment, no rotation" >> "$GLOG"
+    else
+      N=1
+      while [ -f "${TRAJ%.csv}_seg${N}.csv" ]; do N=$((N+1)); done
+      mv "$TRAJ" "${TRAJ%.csv}_seg${N}.csv"
+      git add "${TRAJ%.csv}_seg${N}.csv" >> "$GLOG" 2>&1 || true
+      echo "[guard] rotated stale $TRAJ -> seg${N} (campaign restarted)" >> "$GLOG"
+    fi
   fi
 fi
 LAST_COMMITTED=""

@@ -93,28 +93,46 @@ newest_ckpt() {  # newest_ckpt <dir> — scratch resume beats curated artifacts
 # resume handles it), then the guard-committed latest, then the curated
 # round-4 artifact. run_with_watchdog only uses the cold args while the
 # results dir is empty.
-A_DONOR=artifacts/re4000_live/latest.ckpt
-[ -f "$A_DONOR" ] || A_DONOR=artifacts/re4000_ext/final_state.ckpt
+# Donor = the NEWEST guarded state by sidecar global_step across every
+# candidate guard dir (ADVICE r4 high: a hardcoded donor path went stale the
+# moment the guard dir rotated, so a reboot would have cold-started from a
+# 10k-step-older checkpoint and silently opened a fresh CSV segment).
+A_DONOR=$(python - <<'DONOR'
+import json, os
+cands = ["artifacts/live_re4000_r4b/latest.ckpt",
+         "artifacts/re4000_live/latest.ckpt",
+         "artifacts/re4000_ext/final_state.ckpt"]
+best, best_step = None, -1
+for c in cands:
+    if not os.path.exists(c):
+        continue
+    try:
+        step = int(json.load(open(c + ".json")).get("global_step", 0))
+    except Exception:
+        step = 0
+    if step > best_step:
+        best, best_step = c, step
+print(best or cands[-1])
+DONOR
+)
 run_slot configs/re4000_r4b.yaml 9 --init-from "$A_DONOR"
 
 # If the descent flattened above 4%, the next capacity rung picks up from
 # the newest state; otherwise this slot is skipped by the deadline guard.
 BEST=$(newest_ckpt results_re4000_r4b)
 [ -n "$BEST" ] || BEST=$A_DONOR
-LAST_RATE=$(python - artifacts/re4000_r4b_trajectory.csv <<'PY' 2>/dev/null || echo 1
-import csv, sys
-rows = list(csv.DictReader(open(sys.argv[1])))
-if len(rows) < 5: print(1); raise SystemExit
-a, b = rows[-5], rows[-1]
-du = float(a["u_pct"]) - float(b["u_pct"])
-de = (int(b["step"]) - int(a["step"])) / 25000
-print(f"{du/max(de,1e-9):.4f}")
-PY
-)
-FLAT=$(python -c "print(0 if ${LAST_RATE:-1} > 0.03 else 1)" 2>/dev/null || echo 0)
-if [ "$FLAT" = "1" ]; then
-  note "slot A flattened (rate ${LAST_RATE}/25k) — h224 rung from $BEST"
+# Codified escalation trigger (VERDICT r4 Weak #1): flatten iff the
+# per-window rate has been < 0.05 pts/25k for 3 consecutive guard windows.
+python scripts/escalation_check.py artifacts/re4000_r4b_trajectory.csv \
+    --threshold 0.05 --windows 3 >> "$LOGDIR/queue.log" 2>&1
+ESC_RC=$?
+if [ "$ESC_RC" = "1" ]; then
+  note "slot A flattened (3 windows < 0.05/25k) — h224 rung from $BEST"
   run_slot configs/re4000_widen_h224.yaml 3 --init-from "$BEST"
+elif [ "$ESC_RC" = "0" ]; then
+  note "slot A still descending — no h224 escalation"
+else
+  note "slot A trajectory too short to judge (rc=$ESC_RC) — no escalation"
 fi
 
 # ---------------------------------------------------------------- Slot B
