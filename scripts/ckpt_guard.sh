@@ -96,6 +96,12 @@ while true; do
       >> "$GLOG" 2>&1
   STEP=$(tail -1 "$TRAJ" 2>/dev/null | cut -d, -f1)
   ERR=$(tail -1 "$TRAJ" 2>/dev/null | cut -d, -f3)
+  # keep the README's live headline in lockstep with the committed CSV
+  # (no-op for campaigns other than the one the markers track)
+  if [ "$TRAJ" = "artifacts/re4000_r4b_trajectory.csv" ]; then
+    python scripts/update_readme_headline.py --csv "$TRAJ" >> "$GLOG" 2>&1 \
+      && git add README.md >> "$GLOG" 2>&1 || true
+  fi
   git add "$GUARD_DIR" "$TRAJ" >> "$GLOG" 2>&1 \
     && git commit -m "ckpt guard: $(basename "$RESULTS_DIR") step ${STEP:-?} u ${ERR:-?}%" \
          >> "$GLOG" 2>&1 \
