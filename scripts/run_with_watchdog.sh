@@ -55,11 +55,23 @@ if [ -f "$OVERRIDE_FILE" ]; then
     echo "[watchdog] cold_init_override points at missing file: $OVERRIDE (ignored)" >> "$LOG"
   fi
 fi
+# A pause flag can outlive a CRASHED bench (kill -9 skips bench.py's
+# cleanup); without a bound the campaign would stay stopped until a human
+# noticed. A healthy bench finishes in well under PAUSE_MAX even on a cold
+# compile cache, so a flag older than that is abandoned — remove it and
+# resume (VERDICT r4 Weak #5).
+PAUSE_MAX="${WATCHDOG_PAUSE_MAX:-1800}"
 while true; do
   while [ -f "$PAUSE_FLAG" ]; do
     if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
       echo "[watchdog] deadline reached while paused - exiting" >> "$LOG"
       exit 0
+    fi
+    FLAG_AGE=$(( $(date +%s) - $(stat -c %Y "$PAUSE_FLAG" 2>/dev/null || date +%s) ))
+    if [ "$FLAG_AGE" -gt "$PAUSE_MAX" ]; then
+      echo "[watchdog] pause flag stale ${FLAG_AGE}s (bench crashed?) - removing and resuming" >> "$LOG"
+      rm -f "$PAUSE_FLAG"
+      break
     fi
     sleep 15
   done

@@ -117,6 +117,51 @@ def test_watchdog_cold_init_override(tmp_path):
     assert "warm-start" in text  # the trainer actually loaded the donor
 
 
+def test_watchdog_recovers_from_crashed_bench_pause(tmp_path):
+    """Failure injection (VERDICT r4 Weak #5): bench.py touches .run/pause,
+    SIGTERMs the trainer, then CRASHES before its cleanup removes the flag.
+    The watchdog must not stay paused forever — once the flag exceeds
+    WATCHDOG_PAUSE_MAX it removes it and resumes the campaign."""
+    import threading
+    import time
+
+    env = _shim_env(tmp_path)
+    env["WATCHDOG_PAUSE_MAX"] = "10"  # stale after 10 s for the test
+    cfg = _config(tmp_path, epochs=30_000)  # long enough to be interrupted
+    log = tmp_path / "run.log"
+    run_dir = tmp_path / ".run"
+    run_dir.mkdir()
+    # simulate the crashed bench: pause flag appears while the trainer is
+    # up, the registered trainer is killed, and no one ever cleans up
+    def crashed_bench():
+        reg = run_dir / "wd.pid"
+        for _ in range(120):
+            if reg.exists() and log.exists() and "epoch" in log.read_text():
+                break
+            time.sleep(1)
+        (run_dir / "pause").touch()
+        try:
+            os.kill(int(reg.read_text().strip()), 15)
+        except (OSError, ValueError):
+            pass
+        # bench dies here: flag never removed
+
+    t = threading.Thread(target=crashed_bench)
+    t.start()
+    import time as _t
+    deadline = int(_t.time()) + 150
+    env["WATCHDOG_DEADLINE_TS"] = str(deadline)  # bound the test
+    r = subprocess.run(["bash", WATCHDOG, cfg, str(log), "600"],
+                       env=env, cwd=str(tmp_path), capture_output=True,
+                       text=True, timeout=220)
+    t.join(timeout=10)
+    text = log.read_text()
+    assert "pause flag stale" in text, text[-2000:]
+    # the watchdog relaunched the trainer after clearing the flag
+    assert text.count("[watchdog] launching") >= 2, text[-2000:]
+    assert not (run_dir / "pause").exists()
+
+
 def test_watchdog_deadline_stops_cleanly(tmp_path):
     """WATCHDOG_DEADLINE_TS in the near future: the watchdog kills a
     long trainer at the deadline and exits 0 (not a stale-restart loop)."""
