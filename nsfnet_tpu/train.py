@@ -152,6 +152,41 @@ def main(argv=None):
         logger.error(f"invalid configuration ({len(problems)} problem(s) above); aborting")
         return 2
 
+    # Startup keepalive: the first remote-TPU compiles (initial vis_t
+    # forward, the first scan-chunked train dispatch) can silently block
+    # for 10-20 min — longer than run_with_watchdog.sh's stale window, so
+    # a cold start used to be stale-killed MID-COMPILE and crash-loop (the
+    # 2026-08-20 morning lost ~1.5 h to exactly this). A daemon thread
+    # refreshes the watchdog's signal (log-file mtime via stdout) whenever
+    # nothing has been written for a while, but only during the first
+    # STARTUP_KEEPALIVE_MAX seconds of process life — after that, silence
+    # again means a hung dispatch and the watchdog must act.
+    import threading
+
+    def _startup_keepalive(stop: threading.Event, max_s: float = 2400.0,
+                           quiet_s: float = 240.0):
+        t0 = time.time()
+        while not stop.wait(60.0):
+            if time.time() - t0 > max_s:
+                return
+            try:
+                age = time.time() - os.fstat(2).st_mtime
+            except OSError:
+                return  # stderr is not a regular file; nothing to refresh
+            if age > quiet_s:
+                # stderr (the console-log channel): stdout stays reserved
+                # for machine-readable output
+                import sys as _sys
+
+                print(f"[keepalive] startup still initializing "
+                      f"(t+{int(time.time() - t0)}s; remote TPU compiles "
+                      f"can take 10-20 min)", file=_sys.stderr, flush=True)
+
+    _keepalive_stop = threading.Event()
+    if rank == 0:
+        threading.Thread(target=_startup_keepalive, args=(_keepalive_stop,),
+                         daemon=True).start()
+
     solver = build_solver(cfg)
     if rank == 0 and cfg.training.enable_tensorboard:
         run_name = f"{cfg.experiment_name}_{time.strftime('%Y%m%d_%H%M%S')}"

@@ -110,8 +110,20 @@ while true; do
     fi
     AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
     if [ "$AGE" -gt "$STALE" ]; then
-      echo "[watchdog] log stale ${AGE}s - killing pid $PID" >> "$LOG"
-      kill -9 "$PID" 2>/dev/null
+      # TERM first: a trainer that is merely slow (not hung) checkpoints
+      # and exits gracefully. SIGKILL mid-dispatch has wedged the remote
+      # TPU worker for hours (CLAUDE.md) — escalate only if TERM is
+      # ignored for 180 s, which means the dispatch really is hung.
+      echo "[watchdog] log stale ${AGE}s - SIGTERM pid $PID" >> "$LOG"
+      kill -TERM "$PID" 2>/dev/null
+      for _ in $(seq 1 36); do
+        kill -0 "$PID" 2>/dev/null || break
+        sleep 5
+      done
+      if kill -0 "$PID" 2>/dev/null; then
+        echo "[watchdog] trainer ignored SIGTERM for 180s - SIGKILL" >> "$LOG"
+        kill -9 "$PID" 2>/dev/null
+      fi
       sleep 5
       break
     fi
