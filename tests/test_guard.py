@@ -96,6 +96,46 @@ def test_guard_step_falls_back_to_filename_without_sidecar(tmp_path):
     assert traj.exists(), "filename-parsed step should prevent rotation"
 
 
+# -------------------------------------------------- README headline sync
+
+def test_readme_headline_rewritten_from_csv_tail(tmp_path):
+    upd = os.path.join(REPO, "scripts", "update_readme_headline.py")
+    readme = tmp_path / "README.md"
+    readme.write_text(
+        "# x\n- **Re=4000:**\n  <!-- RE4000_LIVE -->old text"
+        "<!-- /RE4000_LIVE -->\n  and descending.\n")
+    csv_f = tmp_path / "t.csv"
+    csv_f.write_text("step,ckpt,u_pct,v_pct,p_pct,p_gauge_pct\n"
+                     "110000,a.ckpt,8.288,8.284,365,13\n"
+                     "120000,b.ckpt,8.25,8.246,365,13\n")
+    r = subprocess.run([sys.executable, upd, "--csv", str(csv_f),
+                        "--readme", str(readme)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    text = readme.read_text()
+    assert "u 8.250% / v 8.246%" in text and "120,000" in text
+    assert "old text" not in text
+    assert "and descending." in text  # prose outside markers untouched
+    # idempotent
+    r2 = subprocess.run([sys.executable, upd, "--csv", str(csv_f),
+                         "--readme", str(readme)],
+                        capture_output=True, text=True)
+    assert r2.returncode == 0 and readme.read_text() == text
+    # missing markers -> skip (rc 2), file untouched
+    plain = tmp_path / "plain.md"
+    plain.write_text("no markers\n")
+    r3 = subprocess.run([sys.executable, upd, "--csv", str(csv_f),
+                         "--readme", str(plain)],
+                        capture_output=True, text=True)
+    assert r3.returncode == 2 and plain.read_text() == "no markers\n"
+
+
+def test_repo_readme_has_live_markers():
+    # the guard hook is a no-op if someone edits the markers away
+    text = open(os.path.join(REPO, "README.md")).read()
+    assert "<!-- RE4000_LIVE -->" in text and "<!-- /RE4000_LIVE -->" in text
+
+
 # ------------------------------------------------------- escalation check
 
 def _esc(tmp_path, rows, *args):
