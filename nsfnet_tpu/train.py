@@ -115,6 +115,9 @@ def build_solver(cfg, mesh=None) -> PINNSolver:
     )
 
 
+_ACTIVE_KEEPALIVE_STOP = None  # the running startup-keepalive's stop event
+
+
 def main(argv=None):
     args = parse_args() if argv is None else argv
     if os.path.exists(args.config):
@@ -182,7 +185,13 @@ def main(argv=None):
                       f"(t+{int(time.time() - t0)}s; remote TPU compiles "
                       f"can take 10-20 min)", file=_sys.stderr, flush=True)
 
-    _keepalive_stop = threading.Event()
+    # one live keepalive per process: in-process callers (tests) invoke
+    # main() repeatedly — stop the previous thread so it can't keep
+    # printing into a captured stderr for its full bound
+    global _ACTIVE_KEEPALIVE_STOP
+    if _ACTIVE_KEEPALIVE_STOP is not None:
+        _ACTIVE_KEEPALIVE_STOP.set()
+    _keepalive_stop = _ACTIVE_KEEPALIVE_STOP = threading.Event()
     if rank == 0:
         threading.Thread(target=_startup_keepalive, args=(_keepalive_stop,),
                          daemon=True).start()
@@ -443,6 +452,8 @@ def main(argv=None):
         if solver.tb_writer is not None:
             solver.tb_writer.close()
         return 3
+    finally:
+        _keepalive_stop.set()
     logger.header("Training Completed")
     if solver.tb_writer is not None:
         solver.tb_writer.close()
