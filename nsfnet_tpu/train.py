@@ -197,6 +197,12 @@ def main(argv=None):
                          daemon=True).start()
 
     solver = build_solver(cfg)
+    # Startup ends at the first completed training log — from then on the
+    # trainer logs every log_interval and silence means a HUNG dispatch,
+    # which the keepalive must not mask from the watchdog (a masked hang
+    # costs the keepalive's full bound instead of one stale window; seen
+    # live 14:10-14:21 on 2026-08-20).
+    solver.on_first_log = _keepalive_stop.set
     if rank == 0 and cfg.training.enable_tensorboard:
         run_name = f"{cfg.experiment_name}_{time.strftime('%Y%m%d_%H%M%S')}"
         solver.tb_writer = ScalarWriter(

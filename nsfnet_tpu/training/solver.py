@@ -765,6 +765,13 @@ class PINNSolver:
                 self._print_log(m, done, num_epoch, avg_it_s, interval_it_s,
                                 pts_per_step, now - stage_start,
                                 now - self.cumulative_start_time, lr)
+                # a completed chunk has logged: startup is over — let the
+                # driver stop its startup keepalive so a later hung
+                # dispatch goes visibly stale for the watchdog
+                cb = getattr(self, "on_first_log", None)
+                if cb is not None:
+                    self.on_first_log = None
+                    cb()
                 last_log_t, last_log_e = now, done
                 if done > 1:  # epoch-1 loss is pre-descent; skip it
                     if use_eval_track:
